@@ -1,0 +1,132 @@
+#!/usr/bin/env python
+"""Headline benchmark: Groth16 prove wall-time on a synthetic 2^k-gate
+circuit, on whatever accelerator JAX finds (TPU under the driver).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "ms", "vs_baseline": N}
+
+The reference (zksnark-rs) publishes no numbers (BASELINE.md), so
+``vs_baseline`` is the speedup over an explicit cost model of the
+reference's *algorithms* on a fast CPU, documented in `_reference_model_ms`:
+O(n^2) coefficient-domain polynomial arithmetic plus per-coefficient serial
+double-and-add exponentiations through the Rust ``bn`` crate.  The model is
+deliberately generous to the reference (optimistic Rust constants).
+
+Env knobs: BENCH_LOG_N (default 16), BENCH_REPEATS (default 3).
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from zksnark_tpu.utils.jaxcfg import setup_cache  # noqa: E402
+
+setup_cache()
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from zksnark_tpu.field.host import FR  # noqa: E402
+from zksnark_tpu.frontend.r1cs import R1CS  # noqa: E402
+from zksnark_tpu.groth16 import protocol, prover  # noqa: E402
+from zksnark_tpu.groth16.backend import BN254Backend  # noqa: E402
+
+LOG_N = int(os.environ.get("BENCH_LOG_N", "16"))
+REPEATS = int(os.environ.get("BENCH_REPEATS", "3"))
+
+
+def synthetic_square_chain(n_gates: int):
+    """Square-chain circuit: w_{i+1} = w_i * w_i, one gate per step.
+
+    Wires: [unity, x (verify), t_1 .. t_{n}], gate i: t_{i+1} = t_i^2.
+    Returns (R1CS, witness) with a satisfied assignment.
+    """
+    num_wires = n_gates + 2
+    u = [[] for _ in range(num_wires)]
+    v = [[] for _ in range(num_wires)]
+    w = [[] for _ in range(num_wires)]
+    for g in range(1, n_gates + 1):
+        src = 1 if g == 1 else g  # wire feeding gate g
+        dst = g + 1
+        u[src].append((g, 1))
+        v[src].append((g, 1))
+        w[dst].append((g, 1))
+    r1cs = R1CS(u=u, v=v, w=w, roots=list(range(1, n_gates + 1)), input=1)
+
+    x = 3141592653
+    wit = [1, x]
+    cur = x
+    for _ in range(n_gates):
+        cur = cur * cur % FR.p
+        wit.append(cur)
+    return r1cs, wit
+
+
+def _reference_model_ms(n_gates: int, num_wires: int) -> float:
+    """Cost model of the reference prover at this size (generous to it).
+
+    - weighted poly sums: 3 * num_wires * n field mults
+    - h(x): convolution n^2 + long division n^2 field mults
+    - per-coefficient exponentiations: (A:n + B_g1:n + B_g2:n*3 + C:2n)
+      double-and-add scalar muls, ~380 group ops each
+    Constants: 30 ns per 254-bit field mult, 0.5 us per G1 group op
+    (both at the optimistic end of host Rust implementations).
+    """
+    field_mults = 3 * num_wires * n_gates + 2 * n_gates * n_gates
+    group_ops = (1 + 1 + 3 + 2) * n_gates * 380
+    return field_mults * 30e-9 * 1e3 + group_ops * 0.5e-6 * 1e3
+
+
+def main():
+    n_gates = (1 << LOG_N) - 1  # leave one slot: domain n = 2^LOG_N
+    r1cs, wit = synthetic_square_chain(n_gates)
+
+    dqap = prover.compile_r1cs(r1cs)
+    print(f"[bench] devices={jax.devices()} domain n={dqap.n} "
+          f"wires={dqap.num_wires}", file=sys.stderr)
+
+    t0 = time.time()
+    dcrs = prover.device_setup(dqap, trapdoor=(11, 22, 33, 44, 55))
+    jax.block_until_ready(dcrs.xi_g1.x)
+    t_setup = time.time() - t0
+    print(f"[bench] device_setup {t_setup:.1f}s", file=sys.stderr)
+
+    # warmup (compile)
+    t0 = time.time()
+    proof = prover.device_prove(dqap, dcrs, wit, blinding=(7, 9))
+    t_warm = time.time() - t0
+    print(f"[bench] prove warmup (incl compile) {t_warm:.1f}s",
+          file=sys.stderr)
+
+    be = BN254Backend()
+    ok = protocol.verify(be, (dcrs.sigmag1, dcrs.sigmag2), [wit[1]], proof)
+    print(f"[bench] proof verifies: {ok}", file=sys.stderr)
+    if not ok:
+        print(json.dumps({"metric": f"groth16_prove_2^{LOG_N}",
+                          "value": -1, "unit": "ms", "vs_baseline": 0.0,
+                          "error": "proof failed verification"}))
+        return
+
+    best = float("inf")
+    for _ in range(REPEATS):
+        t0 = time.time()
+        prover.device_prove(dqap, dcrs, wit, blinding=(7, 9))
+        best = min(best, time.time() - t0)
+    ms = best * 1e3
+
+    ref_ms = _reference_model_ms(n_gates, dqap.num_wires)
+    print(f"[bench] prove {ms:.0f} ms; reference model {ref_ms:.0f} ms",
+          file=sys.stderr)
+    print(json.dumps({
+        "metric": f"groth16_prove_2^{LOG_N}",
+        "value": round(ms, 1),
+        "unit": "ms",
+        "vs_baseline": round(ref_ms / ms, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -13,3 +13,7 @@ if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+from zksnark_tpu.utils.jaxcfg import setup_cache  # noqa: E402
+
+setup_cache()

@@ -1,0 +1,147 @@
+"""Batched Jacobian-coordinate point kernels, generic over Fq/Fq2.
+
+The device-side replacement for the ``bn`` crate's G1/G2 group ops
+(/root/reference/src/groth16/fr.rs:175-223): complete (edge-case-masked)
+add/double over arrays of points, built only from vectorized field ops so
+the same code is the G1 kernel (FqOps) and the G2 kernel (Fq2Ops).
+
+A point batch is a `JPoint` pytree (X, Y, Z) of element arrays with a shared
+leading batch shape.  Infinity is encoded Z == 0 — the doubling formula then
+propagates infinity for free, and `add` resolves every special case with
+masks (no data-dependent branches, as XLA requires).
+
+Formulas: EFD dbl-2009-l and add-2007-bl (a = 0 curves).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+
+class JPoint(NamedTuple):
+    x: jnp.ndarray
+    y: jnp.ndarray
+    z: jnp.ndarray
+
+
+def infinity(ops, shape=()) -> JPoint:
+    return JPoint(ops.one(shape), ops.one(shape), ops.zero(shape))
+
+
+def from_affine(ops, x, y) -> JPoint:
+    return JPoint(x, y, ops.one(x.shape[:-ops.elem_ndim]))
+
+
+def is_infinity(ops, p: JPoint):
+    return ops.is_zero(p.z)
+
+
+def select(ops, mask, a: JPoint, b: JPoint) -> JPoint:
+    """mask ? a : b (mask shape = batch shape)."""
+    m = ops.bmask(mask)
+    return JPoint(jnp.where(m, a.x, b.x), jnp.where(m, a.y, b.y),
+                  jnp.where(m, a.z, b.z))
+
+
+def neg(ops, p: JPoint) -> JPoint:
+    return JPoint(p.x, ops.neg(p.y), p.z)
+
+
+def double(ops, p: JPoint) -> JPoint:
+    """dbl-2009-l; infinity (Z=0) propagates automatically (Z3 = 2YZ = 0)."""
+    a = ops.sqr(p.x)
+    b = ops.sqr(p.y)
+    c = ops.sqr(b)
+    d = ops.sub(ops.sqr(ops.add(p.x, b)), ops.add(a, c))
+    d = ops.dbl(d)
+    e = ops.add(ops.dbl(a), a)
+    f = ops.sqr(e)
+    x3 = ops.sub(f, ops.dbl(d))
+    c8 = ops.dbl(ops.dbl(ops.dbl(c)))
+    y3 = ops.sub(ops.mul(e, ops.sub(d, x3)), c8)
+    z3 = ops.dbl(ops.mul(p.y, p.z))
+    return JPoint(x3, y3, z3)
+
+
+def add(ops, p: JPoint, q: JPoint) -> JPoint:
+    """Complete addition: handles P=inf, Q=inf, P=Q, P=-Q via masks."""
+    z1z1 = ops.sqr(p.z)
+    z2z2 = ops.sqr(q.z)
+    u1 = ops.mul(p.x, z2z2)
+    u2 = ops.mul(q.x, z1z1)
+    s1 = ops.mul(ops.mul(p.y, q.z), z2z2)
+    s2 = ops.mul(ops.mul(q.y, p.z), z1z1)
+
+    h = ops.sub(u2, u1)
+    i = ops.sqr(ops.dbl(h))
+    j = ops.mul(h, i)
+    r = ops.dbl(ops.sub(s2, s1))
+    v = ops.mul(u1, i)
+    x3 = ops.sub(ops.sub(ops.sqr(r), j), ops.dbl(v))
+    y3 = ops.sub(ops.mul(r, ops.sub(v, x3)), ops.dbl(ops.mul(s1, j)))
+    z3 = ops.mul(
+        ops.sub(ops.sqr(ops.add(p.z, q.z)), ops.add(z1z1, z2z2)), h)
+    gen = JPoint(x3, y3, z3)
+
+    h_zero = ops.is_zero(h)
+    r_zero = ops.is_zero(ops.sub(s2, s1))
+    p_inf = ops.is_zero(p.z)
+    q_inf = ops.is_zero(q.z)
+
+    res = select(ops, h_zero & r_zero, double(ops, p), gen)
+    res = select(ops, h_zero & ~r_zero & ~p_inf & ~q_inf,
+                 infinity(ops, h_zero.shape), res)
+    res = select(ops, q_inf, p, res)
+    res = select(ops, p_inf, q, res)
+    return res
+
+
+def to_affine_np(ops, p: JPoint):
+    """Host-side conversion of a (possibly batched) JPoint to affine python
+    ints (None for infinity).  Test/IO path only."""
+    import numpy as np
+
+    from ..field import params as fp
+
+    q = ops.ctx.p
+    xs = ops.from_mont_np(np.asarray(p.x))
+    ys = ops.from_mont_np(np.asarray(p.y))
+    zs = ops.from_mont_np(np.asarray(p.z))
+
+    def conv(x, y, z):
+        if ops.elem_ndim == 1:
+            if z == 0:
+                return None
+            zi = pow(int(z), -1, q)
+            return (int(x) * zi * zi % q, int(y) * zi * zi * zi % q)
+        else:
+            z0, z1 = int(z[0]), int(z[1])
+            if z0 == 0 and z1 == 0:
+                return None
+            # Fq2 inverse of z
+            norm = (z0 * z0 + z1 * z1) % q
+            ni = pow(norm, -1, q)
+            zi = (z0 * ni % q, (-z1) * ni % q)
+
+            def m(a, b):
+                return ((a[0] * b[0] - a[1] * b[1]) % q,
+                        (a[0] * b[1] + a[1] * b[0]) % q)
+
+            zi2 = m(zi, zi)
+            zi3 = m(zi2, zi)
+            return (m((int(x[0]), int(x[1])), zi2),
+                    m((int(y[0]), int(y[1])), zi3))
+
+    batch_shape = np.asarray(p.z).shape[:-ops.elem_ndim]
+    if batch_shape == ():
+        return conv(xs, ys, zs)
+    out = np.empty(batch_shape, dtype=object)
+    flat = out.reshape(-1)
+    xf = xs.reshape((-1,) + xs.shape[len(batch_shape):])
+    yf = ys.reshape((-1,) + ys.shape[len(batch_shape):])
+    zf = zs.reshape((-1,) + zs.shape[len(batch_shape):])
+    for k in range(flat.shape[0]):
+        flat[k] = conv(xf[k], yf[k], zf[k])
+    return out

@@ -6,16 +6,21 @@ re-designed for TPU semantics instead of translated:
 
 - **Layout**: a field element is a little-endian vector of 16 limbs of 16
   bits held in uint32 lanes, shape ``(..., 16)``.  Any leading batch shape
-  vectorizes over the VPU; all carry chains are short static Python loops
-  (unrolled at trace time) over the limb axis.
+  vectorizes over the VPU.
 - **Why 16-bit limbs**: TPUs have no native 64-bit integer ALU.  With b-bit
   limbs a schoolbook partial product needs 2b bits; b=16 keeps every
-  ``a_i * b_j`` exact in uint32, and accumulating <= 32 such 16-bit-split
-  terms stays far below 2^32, so no accumulation step can overflow
-  (max ~2^22 — see the inline bounds).
-- **Montgomery form**: R = 2^256.  ``mont_mul`` is SOS multiply + word-wise
-  reduction interleaved with a single carry lane; the end is one conditional
-  subtract (t/R < 2p).
+  ``a_i * b_j`` exact in uint32, and diagonal sums of 16 split-off 16-bit
+  halves stay < 2^21 — no accumulation step can overflow.
+- **Convolution by skewing**: the schoolbook product is ONE outer product
+  (batch, L, L) plus the pad/reshape "skew" trick that aligns row i at
+  offset i, then a single sum over rows — a handful of XLA ops instead of
+  2L shift-adds (compile time on a 2-core host made this matter as much as
+  runtime).
+- **Kogge-Stone carries**: carry/borrow chains are resolved in log2(L)
+  parallel rounds (generate/propagate prefix network) rather than a
+  sequential ripple — O(log L) depth on the VPU.
+- **Montgomery (separated SOS)**: t = a*b;  m = t_lo * (-p^-1 mod R) mod R;
+  result = (t + m*p) / R, one conditional subtract (result < 2p).
 
 The same code path runs under jit on TPU and CPU; `ops/montmul.py` provides
 the Pallas-kernel version of the hot loop with identical semantics.
@@ -38,6 +43,7 @@ from .params import LIMB_BITS, LIMB_MASK, NUM_LIMBS
 
 L = NUM_LIMBS
 MASK = jnp.uint32(LIMB_MASK)
+_MONT_R = 1 << (LIMB_BITS * L)
 
 
 class MontCtx:
@@ -49,14 +55,15 @@ class MontCtx:
         r_mod, r2_mod, n0inv = params.mont_constants(p)
         self.r_int = r_mod
         self.r2_int = r2_mod
-        self.n0inv_int = n0inv
+        self.nprime_int = (-pow(p, -1, _MONT_R)) % _MONT_R  # -p^-1 mod R
         self.p_np = np.array(params.to_limbs(p), dtype=np.uint32)
         self.p_limbs = jnp.asarray(self.p_np)
         self.r_limbs = jnp.asarray(
             np.array(params.to_limbs(r_mod), dtype=np.uint32))
         self.r2_limbs = jnp.asarray(
             np.array(params.to_limbs(r2_mod), dtype=np.uint32))
-        self.n0inv = jnp.uint32(n0inv)
+        self.nprime_limbs = jnp.asarray(
+            np.array(params.to_limbs(self.nprime_int), dtype=np.uint32))
         # exponent bits of p-2 (MSB first), for Fermat inversion
         self.p_minus_2_bits = jnp.asarray(
             np.array([int(b) for b in bin(p - 2)[2:]], dtype=np.uint32))
@@ -91,7 +98,7 @@ class MontCtx:
     def from_mont_np(self, arr) -> np.ndarray:
         """Montgomery-form limb array -> object ndarray of python ints."""
         vals = self.from_limbs_np(arr)
-        r_inv = pow(1 << (LIMB_BITS * L), -1, self.p)
+        r_inv = pow(_MONT_R, -1, self.p)
         flat = vals.reshape(-1)
         for i in range(flat.shape[0]):
             flat[i] = (flat[i] * r_inv) % self.p
@@ -105,37 +112,84 @@ class MontCtx:
 
 
 # ---------------------------------------------------------------------------
-# carry / borrow helpers
+# carry machinery (Kogge-Stone)
 # ---------------------------------------------------------------------------
 
-def _carry_propagate(t: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Normalize limbs to 16 bits; returns (limbs, final_carry)."""
-    outs = []
-    carry = jnp.zeros(t.shape[:-1], dtype=jnp.uint32)
-    for i in range(t.shape[-1]):
-        v = t[..., i] + carry
-        outs.append(v & MASK)
-        carry = v >> LIMB_BITS
-    return jnp.stack(outs, axis=-1), carry
+def _normalize(t: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Reduce limbs with up to 32-bit values to canonical 16-bit limbs.
+
+    One ripple round brings the slack to single-bit carries; a Kogge-Stone
+    generate/propagate prefix network resolves those in log2(K) rounds.
+    Returns (limbs, carry_out); inputs must have limb values < 2^32 with the
+    true value < 2^(16K) + carry head-room (always true for our bounds).
+    """
+    k = t.shape[-1]
+    # round 1: fold multi-bit carries one position up
+    lo = t & MASK
+    hi = t >> LIMB_BITS
+    v = lo.at[..., 1:].add(hi[..., :-1])
+    carry0 = hi[..., -1]  # carry out of the top limb from round 1
+    # now v limbs < 2^16 + 2^16 = 2^17 -> single-bit carries
+    g = (v >> LIMB_BITS).astype(jnp.uint32)          # generate (0/1)
+    p_ = ((v & MASK) == MASK).astype(jnp.uint32)      # propagate
+    # Kogge-Stone prefix: c[i] = carry INTO limb i+1
+    gg, pp = g, p_
+    shift = 1
+    while shift < k:
+        g_prev = jnp.pad(gg, [(0, 0)] * (gg.ndim - 1) + [(shift, 0)])[..., :k]
+        p_prev = jnp.pad(pp, [(0, 0)] * (pp.ndim - 1) + [(shift, 0)])[..., :k]
+        gg = gg | (pp & g_prev)
+        pp = pp & p_prev
+        shift <<= 1
+    carry_in = jnp.pad(gg, [(0, 0)] * (gg.ndim - 1) + [(1, 0)])[..., :k]
+    out = (v + carry_in) & MASK
+    carry_out = carry0 + gg[..., -1]
+    return out, carry_out
 
 
 def _sub_with_borrow(a: jnp.ndarray, b: jnp.ndarray):
-    """(a - b) limb-wise; returns (diff, borrow_out) — all values 16-bit."""
-    outs = []
-    borrow = jnp.zeros(a.shape[:-1], dtype=jnp.uint32)
-    for i in range(L):
-        # a_i + 2^16 - b_i - borrow; bit 16 tells us if a borrow occurred
-        v = a[..., i] + (jnp.uint32(1) << LIMB_BITS) - b[..., i] - borrow
-        outs.append(v & MASK)
-        borrow = jnp.uint32(1) - (v >> LIMB_BITS)
-    return jnp.stack(outs, axis=-1), borrow
+    """(a - b) on canonical 16-bit limb vectors; returns (diff, borrow)."""
+    k = a.shape[-1]
+    v = a + (MASK - b)  # a + ~b, limbs <= 2*mask < 2^17
+    v = v.at[..., 0].add(1)  # +1 completes two's complement
+    out, carry = _normalize(v)
+    borrow = jnp.uint32(1) - carry  # carry out <=> a >= b
+    return out, borrow
 
 
 def _cond_sub_p(ctx: MontCtx, a: jnp.ndarray) -> jnp.ndarray:
-    """a - p if a >= p else a (a < 2p, 16 limbs)."""
+    """a - p if a >= p else a (canonical 16-limb input, a < 2p)."""
     diff, borrow = _sub_with_borrow(a, jnp.broadcast_to(ctx.p_limbs, a.shape))
-    keep = (borrow != 0)[..., None]
-    return jnp.where(keep, a, diff)
+    return jnp.where((borrow != 0)[..., None], a, diff)
+
+
+# ---------------------------------------------------------------------------
+# convolution by skewing
+# ---------------------------------------------------------------------------
+
+def _skew_sum(m: jnp.ndarray, width: int) -> jnp.ndarray:
+    """Sum rows of (..., L, L) with row i shifted right by i -> (..., width).
+
+    Uses the pad/flatten/reshape alignment trick: padding rows to 2L+1 and
+    reshaping to (L, 2L) lands element (i, j) at column i+j.
+    """
+    nb = m.ndim - 2
+    padded = jnp.pad(m, [(0, 0)] * nb + [(0, 0), (0, L + 1)])
+    flat = padded.reshape(padded.shape[:-2] + (L * (2 * L + 1),))
+    flat = flat[..., :L * 2 * L]
+    skewed = flat.reshape(flat.shape[:-1] + (L, 2 * L))
+    out = jnp.sum(skewed, axis=-2, dtype=jnp.uint32)
+    return out[..., :width]
+
+
+def _conv(a: jnp.ndarray, b: jnp.ndarray, width: int = 2 * L) -> jnp.ndarray:
+    """Schoolbook product digits: out[k] = sum_{i+j=k} a_i b_j, accumulated
+    as split 16-bit halves so every lane stays < 2^21.  Output is an
+    UN-normalized digit vector of length `width`."""
+    prod = a[..., :, None] * b[..., None, :]  # (..., L, L) exact uint32
+    lo = _skew_sum(prod & MASK, width)
+    hi = _skew_sum(prod >> LIMB_BITS, width)
+    return lo.at[..., 1:].add(hi[..., :-1])
 
 
 # ---------------------------------------------------------------------------
@@ -143,14 +197,13 @@ def _cond_sub_p(ctx: MontCtx, a: jnp.ndarray) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 def add(ctx: MontCtx, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-    s, _ = _carry_propagate(a + b)  # sum < 2p < 2^256: carry is 0
+    s, _ = _normalize(a + b)  # sum < 2p < 2^256: carry out is 0
     return _cond_sub_p(ctx, s)
 
 
 def sub(ctx: MontCtx, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     diff, borrow = _sub_with_borrow(a, b)
-    # if borrowed, add p back
-    plus_p, _ = _carry_propagate(diff + ctx.p_limbs)
+    plus_p, _ = _normalize(diff + ctx.p_limbs)
     return jnp.where((borrow != 0)[..., None], plus_p, diff)
 
 
@@ -167,35 +220,16 @@ def eq(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
 
 
 def mont_mul(ctx: MontCtx, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-    """Montgomery product a*b*R^-1 mod p.
-
-    SOS schoolbook accumulate (every t[k] < 2^22, see module doc) followed by
-    word-wise Montgomery reduction with a single rolling carry.
-    """
+    """Montgomery product a*b*R^-1 mod p (separated SOS; see module doc)."""
     a, b = jnp.broadcast_arrays(a, b)
-    batch = a.shape[:-1]
-    t = jnp.zeros(batch + (2 * L + 1,), dtype=jnp.uint32)
-
-    for i in range(L):
-        pij = a[..., i:i + 1] * b  # exact in uint32
-        lo = pij & MASK
-        hi = pij >> LIMB_BITS
-        t = t.at[..., i:i + L].add(lo)
-        t = t.at[..., i + 1:i + L + 1].add(hi)
-
-    p_limbs = ctx.p_limbs
-    for i in range(L):
-        m = (t[..., i] * ctx.n0inv) & MASK
-        mp = m[..., None] * p_limbs  # exact in uint32
-        t = t.at[..., i:i + L].add(mp & MASK)
-        t = t.at[..., i + 1:i + L + 1].add(mp >> LIMB_BITS)
-        # t[i] is now 0 mod 2^16; roll its carry into t[i+1]
-        t = t.at[..., i + 1].add(t[..., i] >> LIMB_BITS)
-
-    res = t[..., L:2 * L + 1]
-    norm, _ = _carry_propagate(res)
-    # t/R < 2p < 2^255, so the 17th limb is 0 after propagation
-    return _cond_sub_p(ctx, norm[..., :L])
+    t = _conv(a, b)                       # 2L digits, < 2^21
+    t, _ = _normalize(t)                  # ab < 2^508: no carry out
+    m = _conv(t[..., :L], ctx.nprime_limbs, width=L)
+    m, _ = _normalize(m)                  # mod R: carry out discarded
+    u = _conv(m, ctx.p_limbs)             # 2L digits, < 2^21
+    s, _ = _normalize(t + u)              # ab + mp < 2^511: no carry out
+    # low L limbs of s are exactly zero; the quotient is the high half
+    return _cond_sub_p(ctx, s[..., L:])
 
 
 def mont_sqr(ctx: MontCtx, a: jnp.ndarray) -> jnp.ndarray:

@@ -1,0 +1,387 @@
+"""The TPU prover: Groth16 setup/prove over device arrays (NTT + MSM).
+
+This is the production path that replaces every hot loop of the reference
+prover (SURVEY.md §3.3/§3.4) with device kernels:
+
+  reference (host Rust, O(n^2))           here (JAX device, O(n log n))
+  -------------------------------------   --------------------------------
+  Lagrange interpolation over roots 1..n  radix-2 evaluation domain, iNTT
+  u_sum = sum w_i * u_i (poly scalar)     ELL gather + Montgomery mul + sum
+  h = (u v - w) / t via conv + long div   coset NTT divide_by_vanishing
+  per-coefficient exp_encrypted + fold    Pippenger MSM kernels (G1 and G2)
+  setup's per-element encrypt loops       batched fixed-base scalar mul
+
+Domain choice: gates are laid out on a 2^k subgroup D of Fr*, the QAP's
+vanishing polynomial is t = x^n - 1, and unused slots hold all-zero
+constraint rows (0 * 0 = 0).  This changes the QAP polynomials relative to
+the reference's {1..n} interpolation domain, which is sound for any
+distinct-roots choice; the host tier (`qap.from_r1cs` with explicit roots =
+the domain points) reproduces the exact same QAP for cross-checking —
+tests pin the trapdoor and compare host and device CRS/proof bit-for-bit.
+
+Only randomness sampling and the final (few-point) proof assembly run on
+host; pairings stay host-side (verify is 4 pairings regardless of circuit
+size, /root/reference/src/groth16/mod.rs:299-320).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..curve import bn254 as hc
+from ..curve import jacobian as jac
+from ..curve.field_ops import FQ2_OPS, FQ_OPS
+from ..curve.jacobian import JPoint
+from ..field import params
+from ..field.limb import FR_CTX, add as l_add, from_mont, mont_mul
+from ..frontend.r1cs import R1CS
+from ..ops import msm as msmod
+from ..ops import ntt as nttmod
+from .protocol import Proof, SigmaG1, SigmaG2
+
+L = params.NUM_LIMBS
+
+
+# ---------------------------------------------------------------------------
+# Circuit compilation: R1CS -> device tables over a radix-2 domain
+# ---------------------------------------------------------------------------
+
+@dataclass
+class EllMatrix:
+    """Gate-major padded sparse matrix: row g holds the (wire, value) pairs
+    contributing to constraint g.  Padding entries point at wire 0 with
+    value 0."""
+
+    idx: jnp.ndarray   # (n, k) int32 wire indices
+    val: jnp.ndarray   # (n, k, L) uint32 Montgomery Fr values
+
+
+@dataclass
+class DeviceQAP:
+    domain: nttmod.Domain
+    u: EllMatrix
+    v: EllMatrix
+    w: EllMatrix
+    num_wires: int
+    input: int
+
+    @property
+    def n(self) -> int:
+        return self.domain.n
+
+
+def _to_ell(rows: List[List[Tuple[int, int]]], root_index, n: int,
+            num_wires: int) -> EllMatrix:
+    """Per-wire sparse rows -> gate-major ELL tables."""
+    per_gate: List[List[Tuple[int, int]]] = [[] for _ in range(n)]
+    for wire, points in enumerate(rows):
+        for root, value in points:
+            per_gate[root_index[root]].append((wire, value))
+    k = max(1, max((len(g) for g in per_gate), default=1))
+    idx = np.zeros((n, k), dtype=np.int32)
+    vals = np.zeros((n, k), dtype=object)
+    for g, entries in enumerate(per_gate):
+        for j, (wire, value) in enumerate(entries):
+            idx[g, j] = wire
+            vals[g, j] = value
+    val_limbs = FR_CTX.to_mont_np(vals)
+    return EllMatrix(idx=jnp.asarray(idx), val=jnp.asarray(val_limbs))
+
+
+def compile_r1cs(r1cs: R1CS, min_log_n: int = 1) -> DeviceQAP:
+    """Lay the constraint system out on the smallest 2^k >= num_gates."""
+    n_gates = r1cs.num_gates
+    log_n = max(min_log_n, max(1, (n_gates - 1).bit_length()))
+    domain = nttmod.get_domain(log_n)
+    root_index = {r: i for i, r in enumerate(r1cs.roots)}
+    return DeviceQAP(
+        domain=domain,
+        u=_to_ell(r1cs.u, root_index, domain.n, r1cs.num_wires),
+        v=_to_ell(r1cs.v, root_index, domain.n, r1cs.num_wires),
+        w=_to_ell(r1cs.w, root_index, domain.n, r1cs.num_wires),
+        num_wires=r1cs.num_wires,
+        input=r1cs.input,
+    )
+
+
+def domain_roots(domain: nttmod.Domain) -> List[int]:
+    """The domain points as python ints (for host-tier cross-checks)."""
+    out, acc, p = [], 1, FR_CTX.p
+    for _ in range(domain.n):
+        out.append(acc)
+        acc = acc * domain.omega % p
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Device CRS
+# ---------------------------------------------------------------------------
+
+@dataclass
+class DeviceCRS:
+    """Device-resident CRS arrays for the prover + small host Sigma parts
+    (protocol.verify consumes the host parts unchanged)."""
+
+    xi_g1: JPoint          # n points  E1(x^i)
+    xi_t_g1: JPoint        # n-1 points E1(x^i t(x)/delta)
+    sum_delta_g1: JPoint   # num_wires - input - 1 points
+    xi_g2: JPoint          # n points  E2(x^i)
+    sigmag1: SigmaG1       # host (alpha/beta/delta + sum_gamma; xi=None)
+    sigmag2: SigmaG2       # host (beta/gamma/delta; xi=None)
+
+
+def _host_points_to_jac(ops, pts) -> JPoint:
+    """List of host affine points (or None) -> device JPoint batch."""
+    xs, ys, infs = [], [], []
+    for p in pts:
+        if p is None:
+            xs.append(0)
+            ys.append(0)
+            infs.append(True)
+        else:
+            xs.append(p[0])
+            ys.append(p[1])
+            infs.append(False)
+    x = jnp.asarray(ops.to_mont_np(xs))
+    y = jnp.asarray(ops.to_mont_np(ys))
+    z = ops.one((len(pts),))
+    mask = jnp.asarray(np.array(infs))
+    z = jnp.where(ops.bmask(mask), jnp.zeros_like(z), z)
+    return JPoint(x, y, z)
+
+
+def _fixed_base_encrypt(ops, base_affine, scalars: Sequence[int]) -> JPoint:
+    """E(s_i) = s_i * base for a vector of host-int scalars (device batch)."""
+    n = len(scalars)
+    x = jnp.broadcast_to(
+        jnp.asarray(ops.to_mont_np([base_affine[0]])), (n,) + ((2, L) if ops.elem_ndim == 2 else (L,)))
+    y = jnp.broadcast_to(
+        jnp.asarray(ops.to_mont_np([base_affine[1]])), x.shape)
+    pts = jac.from_affine(ops, x, y)
+    slimbs = jnp.asarray(FR_CTX.to_limbs_np(list(scalars)))
+    return msmod.batch_scalar_mul(ops, pts, slimbs)
+
+
+def batch_to_affine_host(ops, pts: JPoint):
+    """Device batch -> list of host affine points (None = infinity), using
+    two associative scans + one inversion for the batched Z normalization."""
+    ctx = ops.ctx if ops.elem_ndim == 1 else ops.base.ctx
+    return jac.to_affine_np(ops, pts)
+
+
+def device_setup(
+    dqap: DeviceQAP,
+    trapdoor: Optional[Tuple[int, int, int, int, int]] = None,
+    rng=None,
+) -> DeviceCRS:
+    """CRS generation: the powers-of-tau/encryption loops (reference hot
+    loop #2, groth16/mod.rs:139-194) as batched device scalar-muls."""
+    import random as _random
+
+    f = FR_CTX.p
+    if trapdoor is None:
+        r = rng or _random
+        trapdoor = tuple(r.randrange(1, f) for _ in range(5))
+    alpha, beta, gamma, delta, x = (t % f for t in trapdoor)
+    n = dqap.n
+
+    # xi = x^0 .. x^{n-1}
+    xi = [1] * n
+    for i in range(1, n):
+        xi[i] = xi[i - 1] * x % f
+
+    # Lagrange-basis values on the domain at x:  L_g(x) = w^g/n * t(x)/(x-w^g)
+    t_x = (pow(x, n, f) - 1) % f
+    roots = domain_roots(dqap.domain)
+    n_inv = pow(n, -1, f)
+    lag = [
+        (r * n_inv % f) * t_x % f * pow((x - r) % f, -1, f) % f
+        for r in roots
+    ]
+
+    # combined_i = beta*u_i(x) + alpha*v_i(x) + w_i(x) per wire (host sparse)
+    combined = [0] * dqap.num_wires
+
+    def accumulate(ell: EllMatrix, scale: int):
+        idx = np.asarray(ell.idx)
+        vals = FR_CTX.from_mont_np(np.asarray(ell.val))
+        for g in range(idx.shape[0]):
+            lg = lag[g] * scale % f
+            for j in range(idx.shape[1]):
+                v = int(vals[g, j])
+                if v:
+                    w_i = int(idx[g, j])
+                    combined[w_i] = (combined[w_i] + v * lg) % f
+
+    accumulate(dqap.u, beta)
+    accumulate(dqap.v, alpha)
+    accumulate(dqap.w, 1)
+
+    gamma_inv = pow(gamma, -1, f)
+    delta_inv = pow(delta, -1, f)
+
+    g1_base = hc.g1_scalar_mul(hc.G1_GEN_PT, params.ENCRYPT_G1_SCALE)
+    g2_base = hc.g2_scalar_mul(hc.G2_GEN, params.ENCRYPT_G2_SCALE)
+
+    # small host parts
+    sum_gamma = [
+        hc.g1_scalar_mul(g1_base, combined[i] * gamma_inv % f)
+        for i in range(min(dqap.input + 1, dqap.num_wires))
+    ]
+    sigmag1 = SigmaG1(
+        alpha=hc.g1_scalar_mul(g1_base, alpha),
+        beta=hc.g1_scalar_mul(g1_base, beta),
+        delta=hc.g1_scalar_mul(g1_base, delta),
+        xi=None, sum_gamma=sum_gamma, sum_delta=None, xi_t=None)
+    sigmag2 = SigmaG2(
+        beta=hc.g2_scalar_mul(g2_base, beta),
+        gamma=hc.g2_scalar_mul(g2_base, gamma),
+        delta=hc.g2_scalar_mul(g2_base, delta),
+        xi=None)
+
+    # big device parts (batched fixed-base scalar-muls)
+    xi_g1 = _fixed_base_encrypt(FQ_OPS, g1_base, xi)
+    xi_g2 = _fixed_base_encrypt(FQ2_OPS, g2_base, xi)
+    xi_t = [p * t_x % f * delta_inv % f for p in xi[:-1]]
+    xi_t_g1 = _fixed_base_encrypt(FQ_OPS, g1_base, xi_t)
+    sum_delta = [
+        combined[i] * delta_inv % f
+        for i in range(dqap.input + 1, dqap.num_wires)
+    ]
+    sum_delta_g1 = _fixed_base_encrypt(FQ_OPS, g1_base, sum_delta)
+
+    return DeviceCRS(
+        xi_g1=xi_g1, xi_t_g1=xi_t_g1, sum_delta_g1=sum_delta_g1,
+        xi_g2=xi_g2, sigmag1=sigmag1, sigmag2=sigmag2)
+
+
+# ---------------------------------------------------------------------------
+# Device prove
+# ---------------------------------------------------------------------------
+
+def _weighted_evals(idx: jnp.ndarray, val: jnp.ndarray,
+                    weights_mont: jnp.ndarray) -> jnp.ndarray:
+    """Evaluations of sum_i w_i * row_i on the domain: ELL gather-mul-sum."""
+    gathered = jnp.take(weights_mont, idx, axis=0)       # (n, k, L)
+    prods = mont_mul(FR_CTX, gathered, val)              # (n, k, L)
+    acc = prods[:, 0]
+    for j in range(1, prods.shape[1]):
+        acc = l_add(FR_CTX, acc, prods[:, j])
+    return acc
+
+
+@partial(jax.jit, static_argnums=(0, 1))
+def _witness_quotient(domain, n_input: int, ell_arrays,
+                      weights_mont: jnp.ndarray):
+    """Jitted stage 1: ELL witness reduction -> iNTT -> coset quotient.
+    Returns standard-form scalar vectors (u, v, h, tail-witness)."""
+    (u_idx, u_val), (v_idx, v_val), (w_idx, w_val) = ell_arrays
+    dom = domain
+
+    u_evals = _weighted_evals(u_idx, u_val, weights_mont)
+    v_evals = _weighted_evals(v_idx, v_val, weights_mont)
+    w_evals = _weighted_evals(w_idx, w_val, weights_mont)
+
+    u_c = nttmod.intt(dom, u_evals)
+    v_c = nttmod.intt(dom, v_evals)
+    h_c = nttmod.divide_by_vanishing(dom, u_evals, v_evals, w_evals)
+
+    u_std = from_mont(FR_CTX, u_c)
+    v_std = from_mont(FR_CTX, v_c)
+    h_std = from_mont(FR_CTX, h_c)
+    wit_std = from_mont(FR_CTX, weights_mont[n_input + 1:])
+    return u_std, v_std, h_std, wit_std
+
+
+def _pad_msm(ops, pts: JPoint, scalars: jnp.ndarray, n: int):
+    """Pad an MSM instance to exactly n terms (infinity points, zero
+    scalars) so same-size MSMs share one compiled kernel."""
+    cur = scalars.shape[0]
+    if cur >= n:
+        return pts, scalars
+    pad = n - cur
+    inf = jac.infinity(ops, (pad,))
+    pts = JPoint(jnp.concatenate([pts.x, inf.x]),
+                 jnp.concatenate([pts.y, inf.y]),
+                 jnp.concatenate([pts.z, inf.z]))
+    scalars = jnp.concatenate(
+        [scalars, jnp.zeros((pad, L), dtype=jnp.uint32)])
+    return pts, scalars
+
+
+def _prove_core(domain, n_input: int, window_bits: int, ell_arrays,
+                crs_arrays, weights_mont: jnp.ndarray):
+    """Device pipeline orchestrator.  Stage 1 (NTT quotient) is one jit;
+    the four G1 MSMs are padded to a common size so they all hit ONE
+    compiled Pippenger kernel; the G2 MSM is the fifth call."""
+    xi_g1, xi_t_g1, sum_delta_g1, xi_g2 = crs_arrays
+    n = domain.n
+    u_std, v_std, h_std, wit_std = _witness_quotient(
+        domain, n_input, ell_arrays, weights_mont)
+
+    wb = window_bits
+    a_g1 = msmod._msm_windowed(FQ_OPS, xi_g1, u_std, wb)
+    b_g1 = msmod._msm_windowed(FQ_OPS, xi_g1, v_std, wb)
+    hp, hs = _pad_msm(FQ_OPS, xi_t_g1, h_std[:n - 1], n)
+    h_xt = msmod._msm_windowed(FQ_OPS, hp, hs, wb)
+    dp, ds = _pad_msm(FQ_OPS, sum_delta_g1, wit_std, n)
+    c_delta = msmod._msm_windowed(FQ_OPS, dp, ds, wb)
+    b_g2 = msmod._msm_windowed(FQ2_OPS, xi_g2, v_std, wb)
+
+    return a_g1, b_g1, b_g2, h_xt, c_delta
+
+
+def device_prove(
+    dqap: DeviceQAP,
+    crs: DeviceCRS,
+    weights: Sequence[int],
+    blinding: Optional[Tuple[int, int]] = None,
+    rng=None,
+) -> Proof:
+    """Full prover: device pipeline + host final assembly (mirrors
+    groth16/mod.rs:213-296 term by term)."""
+    import random as _random
+
+    f = FR_CTX.p
+    if blinding is None:
+        rr = rng or _random
+        blinding = (rr.randrange(1, f), rr.randrange(1, f))
+    r, s = (b % f for b in blinding)
+
+    w_full = list(weights) + [0] * (dqap.num_wires - len(weights))
+    weights_mont = jnp.asarray(FR_CTX.to_mont_np(w_full))
+
+    crs_arrays = (crs.xi_g1, crs.xi_t_g1, crs.sum_delta_g1, crs.xi_g2)
+    ell_arrays = ((dqap.u.idx, dqap.u.val), (dqap.v.idx, dqap.v.val),
+                  (dqap.w.idx, dqap.w.val))
+    window_bits = 16 if dqap.n >= (1 << 18) else 8
+    a_g1, b_g1, b_g2, h_xt, c_delta = _prove_core(
+        dqap.domain, dqap.input, window_bits, ell_arrays, crs_arrays,
+        weights_mont)
+
+    a_aff = jac.to_affine_np(FQ_OPS, a_g1)
+    b1_aff = jac.to_affine_np(FQ_OPS, b_g1)
+    b2_aff = jac.to_affine_np(FQ2_OPS, b_g2)
+    hxt_aff = jac.to_affine_np(FQ_OPS, h_xt)
+    cdelta_aff = jac.to_affine_np(FQ_OPS, c_delta)
+
+    sg1, sg2 = crs.sigmag1, crs.sigmag2
+    a = hc.g1_add(hc.g1_add(a_aff, sg1.alpha),
+                  hc.g1_scalar_mul(sg1.delta, r))
+    b = hc.g2_add(hc.g2_add(b2_aff, sg2.beta),
+                  hc.g2_scalar_mul(sg2.delta, s))
+
+    c = hc.g1_add(hxt_aff, cdelta_aff)
+    c = hc.g1_add(c, hc.g1_scalar_mul(a, s))
+    inner = hc.g1_add(hc.g1_add(sg1.beta, b1_aff),
+                      hc.g1_scalar_mul(sg1.delta, s))
+    c = hc.g1_add(c, hc.g1_scalar_mul(inner, r))
+    c = hc.g1_add(c, hc.g1_neg(hc.g1_scalar_mul(sg1.delta, r * s % f)))
+
+    return Proof(a=a, b=b, c=c)

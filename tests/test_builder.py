@@ -1,0 +1,264 @@
+"""Circuit-builder tests, mirroring /root/reference/src/groth16/circuit/
+builder/tests.rs: gate truth tables, comparator sweeps, word round-trips,
+rotations, and the Keccak differential tests against the host oracle.
+
+Also covers the builder->QAP end-to-end path with the negative assertions
+the reference's vacuous ``circuit_builder_test`` lacks (SURVEY.md §4).
+"""
+
+import random
+
+import pytest
+
+from zksnark_tpu.builder import words as W
+from zksnark_tpu.builder.circuit import Circuit
+from zksnark_tpu.builder.instance import CircuitInstance
+from zksnark_tpu.field.host import Z251
+from zksnark_tpu.groth16 import protocol
+from zksnark_tpu.groth16.backend import Z251Backend
+from zksnark_tpu.groth16.qap import from_r1cs
+from zksnark_tpu.utils.keccak_host import keccak256, keccak_f1600
+
+BE = Z251Backend()
+
+
+# ---------------------------------------------------------------------------
+# gates (mirrors builder/tests.rs:16-176)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("gate,table", [
+    ("new_and", {(0, 0): 0, (0, 1): 0, (1, 0): 0, (1, 1): 1}),
+    ("new_or", {(0, 0): 0, (0, 1): 1, (1, 0): 1, (1, 1): 1}),
+    ("new_xor", {(0, 0): 0, (0, 1): 1, (1, 0): 1, (1, 1): 0}),
+    ("new_nand", {(0, 0): 1, (0, 1): 1, (1, 0): 1, (1, 1): 0}),
+    ("new_nor", {(0, 0): 1, (0, 1): 0, (1, 0): 0, (1, 1): 0}),
+    ("new_xnor", {(0, 0): 1, (0, 1): 0, (1, 0): 0, (1, 1): 1}),
+])
+def test_binary_gate_truth_tables(gate, table):
+    for (a, b), expect in table.items():
+        c = Circuit(Z251)
+        wa, wb = c.new_wire(), c.new_wire()
+        out = getattr(c, gate)(wa, wb)
+        c.set_value(wa, a)
+        c.set_value(wb, b)
+        assert c.evaluate(out) == expect, (gate, a, b)
+
+
+def test_not_and_bit_checker():
+    for a in (0, 1):
+        c = Circuit(Z251)
+        w = c.new_wire()
+        out = c.new_not(w)
+        c.set_value(w, a)
+        assert c.evaluate(out) == 1 - a
+    # bit checker: zero iff input is 0/1
+    for val, expect_zero in ((0, True), (1, True), (2, False), (250, False)):
+        c = Circuit(Z251)
+        w = c.new_wire()
+        out = c.new_bit_checker(w)
+        c.set_value(w, val)
+        assert (c.evaluate(out) == 0) == expect_zero
+
+
+def test_fan_in_and_bitwise():
+    c = Circuit(Z251)
+    ws = [c.new_wire() for _ in range(5)]
+    out = c.fan_in(ws, Circuit.new_and)
+    for w in ws:
+        c.set_value(w, 1)
+    assert c.evaluate(out) == 1
+    c.reset()
+    for i, w in enumerate(ws):
+        c.set_value(w, 0 if i == 3 else 1)
+    assert c.evaluate(out) == 0
+
+
+# ---------------------------------------------------------------------------
+# words (mirrors types.rs tests + doctests)
+# ---------------------------------------------------------------------------
+
+def test_word_set_evaluate_roundtrip():
+    rng = random.Random(0)
+    c = Circuit(Z251)
+    for _ in range(20):
+        v = rng.randrange(256)
+        w8 = c.set_new_word8(v)
+        assert c.evaluate_to_num(w8) == v
+        v64 = rng.getrandbits(64)
+        w64 = c.set_new_word64(v64)
+        assert c.evaluate_to_num(w64) == v64
+
+
+def test_const_words():
+    c = Circuit(Z251)
+    assert c.evaluate_to_num(c.const_word8(0x4B)) == 0x4B
+    assert c.evaluate_to_num(c.const_word64(0x123456789ABCDEF0)) \
+        == 0x123456789ABCDEF0
+
+
+def test_rotations():
+    rng = random.Random(1)
+    c = Circuit(Z251)
+    for _ in range(10):
+        v = rng.getrandbits(64)
+        by = rng.randrange(200)
+        w = c.set_new_word64(v)
+        left = W.rotate_word64_left(w, by)
+        right = W.rotate_word64_right(w, by)
+        assert c.evaluate_to_num(left) == (
+            (v << (by % 64)) | (v >> (64 - by % 64))) & ((1 << 64) - 1) \
+            if by % 64 else c.evaluate_to_num(left) == v
+        # inverse property (mirrors the quickcheck rotate_inverse_prop)
+        assert W.rotate_word64_right(W.rotate_word64_left(w, by), by) == w
+        assert W.rotate_word64_left(w, by + 64) == W.rotate_word64_left(w, by)
+        assert c.evaluate_to_num(right) == (
+            (v >> (by % 64)) | (v << (64 - by % 64))) & ((1 << 64) - 1) \
+            if by % 64 else c.evaluate_to_num(right) == v
+
+
+def test_flatten_word8_roundtrip():
+    c = Circuit(Z251)
+    ws = c.new_word8_vec(3)
+    flat = W.flatten_word8(ws)
+    assert len(flat) == 24
+    assert flat[:8] == ws[0]
+
+
+# ---------------------------------------------------------------------------
+# comparators (mirrors builder/tests.rs:178-210 + doctests)
+# ---------------------------------------------------------------------------
+
+def test_comparators_u8_sweep():
+    rng = random.Random(2)
+    c = Circuit(Z251)
+    left = c.new_word8()
+    right = c.new_word8()
+    gt = c.greater_than(left, right)
+    lt = c.less_than(left, right)
+    geq = c.greater_than_eq(left, right)
+    leq = c.less_than_eq(left, right)
+    eq = c.is_equal(left, right)
+
+    cases = [(rng.randrange(256), rng.randrange(256)) for _ in range(40)]
+    cases += [(0, 0), (255, 255), (0, 255), (255, 0), (127, 128), (128, 127)]
+    for a, b in cases:
+        c.reset()
+        c.set_word8(left, a)
+        c.set_word8(right, b)
+        assert c.evaluate(gt) == (1 if a > b else 0), (a, b)
+        assert c.evaluate(lt) == (1 if a < b else 0), (a, b)
+        assert c.evaluate(geq) == (1 if a >= b else 0), (a, b)
+        assert c.evaluate(leq) == (1 if a <= b else 0), (a, b)
+        assert c.evaluate(eq) == (1 if a == b else 0), (a, b)
+
+
+def test_is_equal_zero():
+    c = Circuit(Z251)
+    w = c.new_word64()
+    z = c.is_equal_zero(w)
+    c.set_word64(w, 0)
+    assert c.evaluate(z) == 1
+    c.reset()
+    c.set_word64(w, 22)
+    assert c.evaluate(z) == 0
+
+
+# ---------------------------------------------------------------------------
+# keccak differential tests (mirrors builder/tests.rs:555-826)
+# ---------------------------------------------------------------------------
+
+def test_keccakf_1600_differential():
+    rng = random.Random(3)
+    c = Circuit(Z251)
+    lanes = [rng.getrandbits(64) for _ in range(25)]
+    state = [c.new_word64() for _ in range(25)]
+    for w, v in zip(state, lanes):
+        c.set_word64(w, v)
+    c.keccakf_1600(state)
+    expect = keccak_f1600(lanes)
+    got = [c.evaluate_to_num(w) for w in state]
+    assert got == expect
+
+
+def test_keccak256_differential():
+    # 56-byte input (the reference doctest's vector, builder/mod.rs:1400-1426)
+    inp = [150, 234, 20, 196, 120, 146, 1, 48, 157, 10, 170, 174, 183, 246,
+           34, 204, 110, 184, 31, 155, 70, 130, 115, 205, 179, 165, 27, 165,
+           104, 31, 7, 16, 157, 242, 34, 232, 56, 161, 8, 150, 228, 129,
+           153, 41, 144, 186, 190, 41, 16, 59, 242, 109, 102, 75, 12, 246]
+    c = Circuit(Z251)
+    words = c.set_new_word8_vec(inp)
+    digest = c.keccak256(words)
+    got = bytes(c.evaluate_to_num(w) for w in digest)
+    assert got == keccak256(inp)
+    assert got == bytes([65, 231, 91, 68, 62, 80, 71, 123, 164, 102, 65, 50,
+                         133, 1, 30, 28, 212, 25, 134, 124, 67, 29, 5, 47,
+                         16, 36, 248, 235, 214, 168, 145, 209])
+
+
+def test_keccak256_multiblock():
+    # > rate bytes exercises the absorb loop
+    rng = random.Random(4)
+    inp = [rng.randrange(256) for _ in range(200)]
+    c = Circuit(Z251)
+    words = c.set_new_word8_vec(inp)
+    digest = c.keccak256(words)
+    got = bytes(c.evaluate_to_num(w) for w in digest)
+    assert got == keccak256(inp)
+
+
+# ---------------------------------------------------------------------------
+# builder -> QAP end-to-end (fixes the reference's vacuous test)
+# ---------------------------------------------------------------------------
+
+def _or_instance():
+    c = Circuit(Z251)
+    x = c.new_wire()
+    x_checker = c.new_bit_checker(x)
+    y = c.new_wire()
+    y_checker = c.new_bit_checker(y)
+    or_wire = c.new_or(x, y)
+    inst = CircuitInstance(
+        c, [x_checker, y_checker, or_wire], [x, y],
+        lambda sc_id: Z251.from_int(sc_id + 1))
+    return inst
+
+
+def test_builder_qap_end_to_end():
+    rng = random.Random(5)
+    inst = _or_instance()
+    qap = from_r1cs(Z251, inst.r1cs())
+    weights = inst.weights([0, 1])
+
+    crs = protocol.setup(BE, qap, rng=rng)
+    proof = protocol.prove(BE, qap, crs, weights, rng=rng)
+    # honest: checkers = 0, or = 1
+    assert protocol.verify(BE, crs, [0, 0, 1], proof)
+    # THE NEGATIVE TEST THE REFERENCE LACKS: a wrong public input must fail
+    assert not protocol.verify(BE, crs, [0, 0, 0], proof)
+    assert not protocol.verify(BE, crs, [1, 0, 1], proof)
+
+
+def test_builder_qap_rejects_nonbinary_input():
+    """x=2 violates the bit-checker: the claimed checker output 0 must not
+    verify (possible only because the row-alignment bug is fixed)."""
+    rng = random.Random(6)
+    inst = _or_instance()
+    qap = from_r1cs(Z251, inst.r1cs())
+    weights = inst.weights([2, 1])  # x = 2 -> x_checker = 2*(2-1) = 2 != 0
+
+    crs = protocol.setup(BE, qap, rng=rng)
+    proof = protocol.prove(BE, qap, crs, weights, rng=rng)
+    assert not protocol.verify(BE, crs, [0, 0, 1], proof)
+    # claiming the true (violating) checker value verifies
+    assert protocol.verify(BE, crs, [2, 0, 1], proof)
+
+
+def test_instance_wire_order():
+    inst = _or_instance()
+    # [unity, verify..., witness...] with verify wires first
+    assert inst.ordered_wires[0] == 1
+    assert inst.ordered_wires[1:4] == inst.verification_wires
+    r = inst.r1cs()
+    assert r.input == 3
+    assert r.num_wires == len(inst.ordered_wires)

@@ -1,0 +1,107 @@
+"""Point kernels and MSM vs the host curve (small sizes; graphs come from
+the persistent compilation cache after the first run)."""
+
+import random
+
+import pytest
+
+jnp = pytest.importorskip("jax.numpy")
+
+from zksnark_tpu.curve import bn254 as hc  # noqa: E402
+from zksnark_tpu.curve import jacobian as jac  # noqa: E402
+from zksnark_tpu.curve.field_ops import FQ2_OPS, FQ_OPS  # noqa: E402
+from zksnark_tpu.field.limb import FR_CTX  # noqa: E402
+from zksnark_tpu.field.params import R  # noqa: E402
+from zksnark_tpu.ops import msm as msmod  # noqa: E402
+
+rng = random.Random(77)
+
+
+def _g1_batch(ks):
+    pts = [hc.g1_scalar_mul(hc.G1_GEN_PT, k) for k in ks]
+    return pts, jac.from_affine(
+        FQ_OPS,
+        jnp.asarray(FQ_OPS.to_mont_np([p[0] for p in pts])),
+        jnp.asarray(FQ_OPS.to_mont_np([p[1] for p in pts])))
+
+
+def test_g1_double_add_edge_cases():
+    ks = [rng.randrange(1, R) for _ in range(8)]
+    host, P = _g1_batch(ks)
+
+    aff = jac.to_affine_np(FQ_OPS, jac.double(FQ_OPS, P))
+    assert all(aff[i] == hc.g1_scalar_mul(hc.G1_GEN_PT, 2 * k % R)
+               for i, k in enumerate(ks))
+
+    # P + P (same point through the general-add path)
+    aff = jac.to_affine_np(FQ_OPS, jac.add(FQ_OPS, P, P))
+    assert all(aff[i] == hc.g1_scalar_mul(hc.G1_GEN_PT, 2 * k % R)
+               for i, k in enumerate(ks))
+
+    # P + (-P) = infinity
+    assert all(v is None for v in jac.to_affine_np(
+        FQ_OPS, jac.add(FQ_OPS, P, jac.neg(FQ_OPS, P))))
+
+    # identity element
+    inf = jac.infinity(FQ_OPS, (8,))
+    assert jac.to_affine_np(FQ_OPS, jac.add(FQ_OPS, P, inf)) == \
+        jac.to_affine_np(FQ_OPS, jac.add(FQ_OPS, inf, P))
+
+
+def test_g1_msm_vs_host():
+    n = 23
+    ks = [rng.randrange(1, R) for _ in range(n)]
+    host, P = _g1_batch(ks)
+    scalars = [rng.randrange(R) for _ in range(n)]
+    slimbs = jnp.asarray(FR_CTX.to_limbs_np(scalars))
+    expect = None
+    for pt, s in zip(host, scalars):
+        expect = hc.g1_add(expect, hc.g1_scalar_mul(pt, s))
+
+    assert jac.to_affine_np(
+        FQ_OPS, msmod.msm_naive(FQ_OPS, P, slimbs)) == expect
+    assert jac.to_affine_np(
+        FQ_OPS, msmod.msm(FQ_OPS, P, slimbs, window_bits=8)) == expect
+
+
+def test_g1_msm_with_zero_scalars_and_infinity():
+    n = 8
+    ks = [rng.randrange(1, R) for _ in range(n)]
+    host, P = _g1_batch(ks)
+    scalars = [0, 1, 0, rng.randrange(R), 0, 2, 0, 0]
+    slimbs = jnp.asarray(FR_CTX.to_limbs_np(scalars))
+    expect = None
+    for pt, s in zip(host, scalars):
+        expect = hc.g1_add(expect, hc.g1_scalar_mul(pt, s))
+    got = jac.to_affine_np(FQ_OPS, msmod.msm(FQ_OPS, P, slimbs,
+                                             window_bits=8))
+    assert got == expect
+
+
+def test_g2_msm_vs_host():
+    n = 9
+    ks = [rng.randrange(1, R) for _ in range(n)]
+    pts = [hc.g2_scalar_mul(hc.G2_GEN, k) for k in ks]
+    P = jac.from_affine(
+        FQ2_OPS,
+        jnp.asarray(FQ2_OPS.to_mont_np([list(p[0]) for p in pts])),
+        jnp.asarray(FQ2_OPS.to_mont_np([list(p[1]) for p in pts])))
+    scalars = [rng.randrange(R) for _ in range(n)]
+    slimbs = jnp.asarray(FR_CTX.to_limbs_np(scalars))
+    expect = None
+    for pt, s in zip(pts, scalars):
+        expect = hc.g2_add(expect, hc.g2_scalar_mul(pt, s))
+    got = jac.to_affine_np(FQ2_OPS, msmod.msm(FQ2_OPS, P, slimbs,
+                                              window_bits=8))
+    assert got == expect
+
+
+def test_batch_scalar_mul():
+    n = 8
+    ks = [rng.randrange(1, R) for _ in range(n)]
+    host, P = _g1_batch(ks)
+    scalars = [rng.randrange(R) for _ in range(n)]
+    slimbs = jnp.asarray(FR_CTX.to_limbs_np(scalars))
+    aff = jac.to_affine_np(FQ_OPS, msmod.batch_scalar_mul(FQ_OPS, P, slimbs))
+    assert all(aff[i] == hc.g1_scalar_mul(host[i], scalars[i])
+               for i in range(n))

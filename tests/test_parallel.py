@@ -1,0 +1,118 @@
+"""Multi-chip tests on the 8-virtual-device CPU mesh: sharded MSM, the
+four-step distributed NTT, and the full sharded prove step — each checked
+bit-exact against its single-chip counterpart."""
+
+import random
+
+import pytest
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+from jax.sharding import Mesh  # noqa: E402
+
+from zksnark_tpu.curve import bn254 as hc  # noqa: E402
+from zksnark_tpu.curve import jacobian as jac  # noqa: E402
+from zksnark_tpu.curve.field_ops import FQ2_OPS, FQ_OPS  # noqa: E402
+from zksnark_tpu.field.host import FR  # noqa: E402
+from zksnark_tpu.field.limb import FR_CTX  # noqa: E402
+from zksnark_tpu.field.params import R  # noqa: E402
+from zksnark_tpu.ops import msm as msmod  # noqa: E402
+from zksnark_tpu.ops import ntt as nttmod  # noqa: E402
+from zksnark_tpu.parallel import ntt_sharded as nsh  # noqa: E402
+from zksnark_tpu.parallel.msm_sharded import make_mesh, msm_sharded  # noqa: E402
+
+rng = random.Random(123)
+
+N_DEV = 4  # use 4 of the 8 virtual devices (divides all test sizes)
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    if len(jax.devices()) < N_DEV:
+        pytest.skip("needs a multi-device harness")
+    return make_mesh(N_DEV)
+
+
+def test_msm_sharded_matches_single(mesh):
+    n = 32
+    ks = [rng.randrange(1, R) for _ in range(n)]
+    pts_host = [hc.g1_scalar_mul(hc.G1_GEN_PT, k) for k in ks]
+    P = jac.from_affine(
+        FQ_OPS,
+        jnp.asarray(FQ_OPS.to_mont_np([p[0] for p in pts_host])),
+        jnp.asarray(FQ_OPS.to_mont_np([p[1] for p in pts_host])))
+    scalars = [rng.randrange(R) for _ in range(n)]
+    slimbs = jnp.asarray(FR_CTX.to_limbs_np(scalars))
+
+    single = jac.to_affine_np(
+        FQ_OPS, msmod._msm_windowed(FQ_OPS, P, slimbs, 8))
+    sharded = jac.to_affine_np(
+        FQ_OPS, msm_sharded(FQ_OPS, mesh, P, slimbs, window_bits=8))
+    assert sharded == single
+
+
+def test_ntt_sharded_matches_single(mesh):
+    sd = nsh.ShardedDomain(3, 3)  # n = 64
+    coeffs = [rng.randrange(FR.p) for _ in range(sd.n)]
+    a = jnp.asarray(FR_CTX.to_mont_np(coeffs))
+
+    expect = FR_CTX.from_mont_np(
+        np.asarray(nttmod.ntt(nttmod.get_domain(6), a)))
+
+    m = nsh.from_coeffs(sd, a)
+    c = nsh.ntt_sharded(mesh, sd, m)
+    got = FR_CTX.from_mont_np(np.asarray(nsh.to_natural(sd, c)))
+    assert list(got) == list(expect)
+
+
+def test_intt_sharded_roundtrip(mesh):
+    sd = nsh.ShardedDomain(3, 3)
+    coeffs = [rng.randrange(FR.p) for _ in range(sd.n)]
+    a = jnp.asarray(FR_CTX.to_mont_np(coeffs))
+    m = nsh.from_coeffs(sd, a)
+    c = nsh.ntt_sharded(mesh, sd, m)
+    back = nsh.intt_sharded(mesh, sd, c)
+    got = FR_CTX.from_mont_np(np.asarray(back.reshape(sd.n, 16)))
+    assert list(got) == coeffs
+
+
+def test_sharded_prove_step_matches_single(mesh):
+    from zksnark_tpu.frontend.r1cs import R1CS
+    from zksnark_tpu.groth16 import prover
+    from zksnark_tpu.parallel.prove_sharded import sharded_prove_step
+
+    # small synthetic square-chain circuit
+    n_gates = 15
+    num_wires = n_gates + 2
+    u = [[] for _ in range(num_wires)]
+    v = [[] for _ in range(num_wires)]
+    w = [[] for _ in range(num_wires)]
+    for g in range(1, n_gates + 1):
+        src = 1 if g == 1 else g
+        u[src].append((g, 1))
+        v[src].append((g, 1))
+        w[g + 1].append((g, 1))
+    r1cs = R1CS(u=u, v=v, w=w, roots=list(range(1, n_gates + 1)), input=1)
+    x = 424242
+    wit = [1, x]
+    cur = x
+    for _ in range(n_gates):
+        cur = cur * cur % FR.p
+        wit.append(cur)
+
+    dqap = prover.compile_r1cs(r1cs)
+    dcrs = prover.device_setup(dqap, trapdoor=(21, 32, 43, 54, 65))
+    ell_arrays = ((dqap.u.idx, dqap.u.val), (dqap.v.idx, dqap.v.val),
+                  (dqap.w.idx, dqap.w.val))
+    weights_mont = jnp.asarray(FR_CTX.to_mont_np(wit))
+    crs_arrays = (dcrs.xi_g1, dcrs.xi_t_g1, dcrs.sum_delta_g1, dcrs.xi_g2)
+
+    single = prover._prove_core(dqap.domain, dqap.input, 8, ell_arrays,
+                                crs_arrays, weights_mont)
+    sharded = sharded_prove_step(mesh, dqap.domain, dqap.input, 8,
+                                 ell_arrays, crs_arrays, weights_mont)
+
+    for s_pt, m_pt, ops in zip(
+            single, sharded, [FQ_OPS, FQ_OPS, FQ2_OPS, FQ_OPS, FQ_OPS]):
+        assert jac.to_affine_np(ops, s_pt) == jac.to_affine_np(ops, m_pt)

@@ -71,6 +71,13 @@ class Z251Backend:
     def gt_eq(self, a: int, b: int) -> bool:
         return a == b
 
+    def pairing_check(self, pairs) -> bool:
+        """prod e(P_i, Q_i) == identity (mock: sum of products == 0)."""
+        acc = 0
+        for g1, g2 in pairs:
+            acc = (acc + g1 * g2) % 251
+        return acc == 0
+
     def random_g1(self, rng: Optional[random.Random] = None) -> int:
         return self.field.random_elem(rng)
 
@@ -132,6 +139,13 @@ class BN254Backend:
 
     def gt_eq(self, a, b) -> bool:
         return a == b
+
+    def pairing_check(self, pairs) -> bool:
+        """prod e(P_i, Q_i) == 1 via the native library (single shared
+        final exponentiation); python fallback when the .so is absent."""
+        from ..curve import native
+
+        return native.pairing_check(pairs)
 
     def random_g1(self, rng: Optional[random.Random] = None):
         return self.encrypt_g1(self.field.random_elem(rng))

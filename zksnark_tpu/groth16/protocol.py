@@ -210,3 +210,30 @@ def verify(
     )
     rhs = backend.pairing(proof.a, proof.b)
     return backend.gt_eq(lhs, rhs)
+
+
+def verify_fast(
+    backend,
+    crs: Tuple[SigmaG1, SigmaG2],
+    inputs: Sequence[int],
+    proof: Proof,
+) -> bool:
+    """Verification via one product-of-pairings check with a single final
+    exponentiation:  e(alpha,beta) e(sum,gamma) e(C,delta) e(-A,B) == 1.
+
+    Semantically identical to `verify` (tested for agreement); on the BN254
+    backend this routes through the native C++ library.
+    """
+    f = backend.field
+    sigmag1, sigmag2 = crs
+    sum_term = backend.g1_zero()
+    coeffs = [f.one()] + [f.from_int(i) for i in inputs]
+    for pt, a in zip(sigmag1.sum_gamma, coeffs):
+        sum_term = backend.g1_add(sum_term, backend.exp_g1(a, pt))
+    neg_a = backend.g1_sub(backend.g1_zero(), proof.a)
+    return backend.pairing_check([
+        (sigmag1.alpha, sigmag2.beta),
+        (sum_term, sigmag2.gamma),
+        (proof.c, sigmag2.delta),
+        (neg_a, proof.b),
+    ])

@@ -117,6 +117,52 @@ def main():
         best = min(best, time.time() - t0)
     ms = best * 1e3
 
+    # submetrics per BASELINE.md: MSM Gexp/s and NTT butterflies/s
+    details = {"prove_ms": round(ms, 1), "setup_s": round(t_setup, 1),
+               "warmup_s": round(t_warm, 1), "log_n": LOG_N,
+               "devices": str(jax.devices())}
+    try:
+        import jax.numpy as jnp
+
+        from zksnark_tpu.curve.field_ops import FQ_OPS
+        from zksnark_tpu.field.limb import FR_CTX, from_mont
+        from zksnark_tpu.ops import msm as msmod
+        from zksnark_tpu.ops import ntt as nttmod
+
+        n = dqap.n
+        wb = 16 if n >= (1 << 18) else 8
+        scalars = from_mont(
+            FR_CTX, jnp.asarray(FR_CTX.to_mont_np(wit[:n] + [0] * max(
+                0, n - len(wit)))))
+        r = msmod._msm_windowed(FQ_OPS, dcrs.xi_g1, scalars, wb)
+        jax.block_until_ready(r.x)  # warm
+        t0 = time.time()
+        r = msmod._msm_windowed(FQ_OPS, dcrs.xi_g1, scalars, wb)
+        jax.block_until_ready(r.x)
+        msm_s = time.time() - t0
+        details["msm_g1_ms"] = round(msm_s * 1e3, 1)
+        details["msm_gexp_per_s"] = round(n / msm_s)
+
+        a = jnp.asarray(FR_CTX.to_mont_np(wit[:n] + [0] * max(
+            0, n - len(wit))))
+        dom = dqap.domain
+        nt = jax.jit(lambda x: nttmod.ntt(dom, x))
+        jax.block_until_ready(nt(a))
+        t0 = time.time()
+        jax.block_until_ready(nt(a))
+        ntt_s = time.time() - t0
+        import math
+
+        butterflies = (n // 2) * int(math.log2(n))
+        details["ntt_ms"] = round(ntt_s * 1e3, 2)
+        details["ntt_butterflies_per_s"] = round(butterflies / ntt_s)
+    except Exception as e:  # pragma: no cover
+        details["submetric_error"] = repr(e)
+
+    with open("BENCH_DETAILS.json", "w") as f:
+        json.dump(details, f, indent=2)
+    print(f"[bench] details: {details}", file=sys.stderr)
+
     ref_ms = _reference_model_ms(n_gates, dqap.num_wires)
     print(f"[bench] prove {ms:.0f} ms; reference model {ref_ms:.0f} ms",
           file=sys.stderr)

@@ -44,8 +44,8 @@ def test_g1_double_add_edge_cases():
 
     # identity element
     inf = jac.infinity(FQ_OPS, (8,))
-    assert jac.to_affine_np(FQ_OPS, jac.add(FQ_OPS, P, inf)) == \
-        jac.to_affine_np(FQ_OPS, jac.add(FQ_OPS, inf, P))
+    assert list(jac.to_affine_np(FQ_OPS, jac.add(FQ_OPS, P, inf))) == \
+        list(jac.to_affine_np(FQ_OPS, jac.add(FQ_OPS, inf, P))) == host
 
 
 def test_g1_msm_vs_host():

@@ -26,6 +26,16 @@ rng = random.Random(123)
 
 N_DEV = 4  # use 4 of the 8 virtual devices (divides all test sizes)
 
+# The shard_map MSM / prove-step graphs take many minutes to compile on a
+# small host; they are gated behind ZK_SLOW_TESTS=1 (run at least once per
+# repo lifetime to validate + warm the cache).  The four-step NTT tests are
+# cheap and always on.
+import os  # noqa: E402
+
+slow = pytest.mark.skipif(
+    os.environ.get("ZK_SLOW_TESTS") != "1",
+    reason="set ZK_SLOW_TESTS=1 for the shard_map compile-heavy tests")
+
 
 @pytest.fixture(scope="module")
 def mesh():
@@ -34,6 +44,7 @@ def mesh():
     return make_mesh(N_DEV)
 
 
+@slow
 def test_msm_sharded_matches_single(mesh):
     n = 32
     ks = [rng.randrange(1, R) for _ in range(n)]
@@ -77,6 +88,7 @@ def test_intt_sharded_roundtrip(mesh):
     assert list(got) == coeffs
 
 
+@slow
 def test_sharded_prove_step_matches_single(mesh):
     from zksnark_tpu.frontend.r1cs import R1CS
     from zksnark_tpu.groth16 import prover

@@ -156,16 +156,26 @@ def _host_points_to_jac(ops, pts) -> JPoint:
     return JPoint(x, y, z)
 
 
-def _fixed_base_encrypt(ops, base_affine, scalars: Sequence[int]) -> JPoint:
-    """E(s_i) = s_i * base for a vector of host-int scalars (device batch)."""
+def _fixed_base_encrypt(ops, base_affine, scalars: Sequence[int],
+                        pad_to: int = 0) -> JPoint:
+    """E(s_i) = s_i * base for a vector of host-int scalars (device batch).
+
+    pad_to: round the batch up (zero scalars) so different CRS pieces share
+    one compiled scalar-mul kernel; the pad rows are sliced off."""
     n = len(scalars)
+    m = max(n, pad_to)
+    padded = list(scalars) + [0] * (m - n)
     x = jnp.broadcast_to(
-        jnp.asarray(ops.to_mont_np([base_affine[0]])), (n,) + ((2, L) if ops.elem_ndim == 2 else (L,)))
+        jnp.asarray(ops.to_mont_np([base_affine[0]])),
+        (m,) + ((2, L) if ops.elem_ndim == 2 else (L,)))
     y = jnp.broadcast_to(
         jnp.asarray(ops.to_mont_np([base_affine[1]])), x.shape)
     pts = jac.from_affine(ops, x, y)
-    slimbs = jnp.asarray(FR_CTX.to_limbs_np(list(scalars)))
-    return msmod.batch_scalar_mul(ops, pts, slimbs)
+    slimbs = jnp.asarray(FR_CTX.to_limbs_np(padded))
+    out = msmod.batch_scalar_mul(ops, pts, slimbs)
+    if m != n:
+        out = JPoint(out.x[:n], out.y[:n], out.z[:n])
+    return out
 
 
 def batch_to_affine_host(ops, pts: JPoint):
@@ -245,16 +255,18 @@ def device_setup(
         delta=hc.g2_scalar_mul(g2_base, delta),
         xi=None)
 
-    # big device parts (batched fixed-base scalar-muls)
+    # big device parts (batched fixed-base scalar-muls); everything is
+    # padded to n so the G1 pieces share ONE compiled kernel
     xi_g1 = _fixed_base_encrypt(FQ_OPS, g1_base, xi)
     xi_g2 = _fixed_base_encrypt(FQ2_OPS, g2_base, xi)
     xi_t = [p * t_x % f * delta_inv % f for p in xi[:-1]]
-    xi_t_g1 = _fixed_base_encrypt(FQ_OPS, g1_base, xi_t)
+    xi_t_g1 = _fixed_base_encrypt(FQ_OPS, g1_base, xi_t, pad_to=n)
     sum_delta = [
         combined[i] * delta_inv % f
         for i in range(dqap.input + 1, dqap.num_wires)
     ]
-    sum_delta_g1 = _fixed_base_encrypt(FQ_OPS, g1_base, sum_delta)
+    sum_delta_g1 = _fixed_base_encrypt(FQ_OPS, g1_base, sum_delta,
+                                       pad_to=n)
 
     return DeviceCRS(
         xi_g1=xi_g1, xi_t_g1=xi_t_g1, sum_delta_g1=sum_delta_g1,

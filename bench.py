@@ -156,6 +156,25 @@ def main():
         butterflies = (n // 2) * int(math.log2(n))
         details["ntt_ms"] = round(ntt_s * 1e3, 2)
         details["ntt_butterflies_per_s"] = round(butterflies / ntt_s)
+
+        # Pallas montmul kernel vs the XLA limb path (real TPU only)
+        if jax.devices()[0].platform != "cpu":
+            from zksnark_tpu.field.limb import mont_mul
+            from zksnark_tpu.ops.montmul import mont_mul_pallas
+
+            nb = 1 << 16
+            av = jnp.tile(a, (max(1, nb // n), 1))[:nb]
+            xla_mm = jax.jit(lambda x, y: mont_mul(FR_CTX, x, y))
+            pal_mm = jax.jit(lambda x, y: mont_mul_pallas(FR_CTX, x, y))
+            for name, f in (("montmul_xla", xla_mm),
+                            ("montmul_pallas", pal_mm)):
+                jax.block_until_ready(f(av, av))  # warm
+                t0 = time.time()
+                for _ in range(10):
+                    out = f(av, av)
+                jax.block_until_ready(out)
+                dt = (time.time() - t0) / 10
+                details[f"{name}_Mmul_per_s"] = round(nb / dt / 1e6, 1)
     except Exception as e:  # pragma: no cover
         details["submetric_error"] = repr(e)
 

@@ -63,3 +63,29 @@ def test_cli_legacy_format(tmp_path):
     circ = "test_programs/quad_share.zk"
     assert cli_main(["compile", circ, "--field", "z251"]) == 0
     assert cli_main(["setup", circ, "--field", "z251", "--crs", crs]) == 0
+
+
+def test_cli_check_witness_flag(tmp_path):
+    crs = str(tmp_path / "crs.json")
+    proof = str(tmp_path / "proof.json")
+    circ = "test_programs/simple.zk"
+    assert cli_main(["setup", circ, "--field", "z251", "--crs", crs]) == 0
+    assert cli_main(["prove", circ, "--field", "z251", "--crs", crs,
+                     "--inputs", "3,2,4", "--proof", proof,
+                     "--check-witness"]) == 0
+
+
+def test_check_satisfied_detects_bad_witness():
+    """The failure-detection hook the reference lacks (SURVEY.md §5):
+    a corrupted weight vector names the violated gate roots."""
+    r1cs = compiler.parse(CODE, Z251)
+    w = witness.weights(CODE, [3, 2, 4], Z251)
+    assert r1cs.check_satisfied(w, Z251.p) == []
+    bad = list(w)
+    bad[-1] = (bad[-1] + 1) % Z251.p
+    violated = r1cs.check_satisfied(bad, Z251.p)
+    assert violated, "corrupted witness must violate some constraint"
+    assert set(violated) <= set(r1cs.roots)
+    # zero-extension matches the prover's padding semantics
+    assert r1cs.check_satisfied(w + [0] * 3, Z251.p) == \
+        r1cs.check_satisfied(w, Z251.p)

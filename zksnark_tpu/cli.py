@@ -60,6 +60,10 @@ def main(argv=None):
     ap.add_argument("--public", default="", help="verify-wire values, csv")
     ap.add_argument("--trapdoor", default="",
                     help="pin the 5 toxic-waste values (testing only), csv")
+    ap.add_argument("--check-witness", action="store_true",
+                    help="verify the witness satisfies every constraint "
+                    "before proving (the reference silently emits an "
+                    "unverifiable proof instead)")
     args = ap.parse_args(argv)
 
     from .utils.jaxcfg import setup_cache
@@ -100,6 +104,12 @@ def main(argv=None):
 
         crs = ser.crs_from_json(open(args.crs).read())
         w = mk_weights(code, _parse_ints(args.inputs), field)
+        if args.check_witness:
+            bad = r1cs.check_satisfied(w, field.p)
+            if bad:
+                print(f"prove: witness violates {len(bad)} constraint(s) "
+                      f"at roots {bad[:8]}{'...' if len(bad) > 8 else ''}")
+                return 3
         t0 = time.time()
         proof = protocol.prove(be, qap, crs, w)
         open(args.proof, "w").write(ser.proof_to_json(proof))

@@ -66,6 +66,29 @@ class R1CS:
             out.append(m)
         return tuple(out)
 
+    # -- debug / failure detection ------------------------------------------
+
+    def check_satisfied(self, weights, p: int):
+        """Explicit witness-satisfaction check (debug mode).
+
+        The reference cannot report an invalid witness — its polynomial
+        division silently drops the remainder and the proof just fails to
+        verify (/root/reference/src/groth16/coefficient_poly.rs:148-157).
+        This is the failure-detection hook SURVEY.md §5 asks for: returns
+        the list of violated gate roots ([] = satisfied).  Weights shorter
+        than num_wires are zero-extended (matching the prover).
+        """
+        w_full = list(weights) + [0] * (self.num_wires - len(weights))
+        sums = []
+        for rows in (self.u, self.v, self.w):
+            acc = {root: 0 for root in self.roots}
+            for i, points in enumerate(rows):
+                for (r, val) in points:
+                    acc[r] = (acc[r] + val * w_full[i]) % p
+            sums.append(acc)
+        us, vs, ws = sums
+        return [r for r in self.roots if us[r] * vs[r] % p != ws[r]]
+
     def coo(self):
         """Three COO tensors ((wire_idx, gate_idx, value) int arrays) for
         u, v, w — the sparse form the device witness-reduction kernels use."""

@@ -83,9 +83,6 @@ def _kernel_body(p_limbs, nprime_limbs, a_ref, b_ref, o_ref):
     res = s[L:2 * L]
 
     # conditional subtract p (two's complement add of ~p + 1)
-    d = []
-    borrow_chain = jnp.zeros_like(a[0])
-    carry = jnp.uint32(1)
     cur = [jnp.zeros_like(a[0])] * L
     c = jnp.ones_like(a[0])  # +1 of two's complement folded into limb 0
     for k in range(L):
@@ -98,15 +95,29 @@ def _kernel_body(p_limbs, nprime_limbs, a_ref, b_ref, o_ref):
         o_ref[k, :] = jnp.where(ge.astype(bool), cur[k], res[k])
 
 
+class _EmuRef:
+    """Minimal pallas Ref emulation so the kernel body can run on plain
+    arrays (the CPU test harness detaches the TPU platform, which breaks
+    even *importing* jax.experimental.pallas there)."""
+
+    def __init__(self, arr):
+        self.arr = arr
+
+    def __getitem__(self, key):
+        return self.arr[key]
+
+    def __setitem__(self, key, value):
+        self.arr = self.arr.at[key].set(value)
+
+
 def mont_mul_pallas(ctx: MontCtx, a: jnp.ndarray, b: jnp.ndarray,
                     interpret: bool = False) -> jnp.ndarray:
     """Batched Montgomery multiply via the Pallas kernel.
 
     a, b: (N, L) uint32 Montgomery limbs, N a multiple of TILE (pad
-    upstream).  Returns (N, L).
+    upstream).  Returns (N, L).  interpret=True runs the kernel body on
+    plain arrays (CPU harness; no pallas import).
     """
-    from jax.experimental import pallas as pl
-
     n = a.shape[0]
     pad = (-n) % TILE
     if pad:
@@ -119,6 +130,14 @@ def mont_mul_pallas(ctx: MontCtx, a: jnp.ndarray, b: jnp.ndarray,
     np_limbs = [int(x) for x in params.to_limbs(ctx.nprime_int)]
 
     kernel = partial(_kernel_body, p_limbs, np_limbs)
+    if interpret:
+        o_ref = _EmuRef(jnp.zeros(at.shape, jnp.uint32))
+        kernel(_EmuRef(at), _EmuRef(bt), o_ref)
+        res = o_ref.arr.T
+        return res[:n] if pad else res
+
+    from jax.experimental import pallas as pl
+
     grid = (at.shape[1] // TILE,)
     out = pl.pallas_call(
         kernel,

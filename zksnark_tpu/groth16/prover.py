@@ -139,10 +139,11 @@ class DeviceCRS:
 def _host_points_to_jac(ops, pts) -> JPoint:
     """List of host affine points (or None) -> device JPoint batch."""
     xs, ys, infs = [], [], []
+    zero = 0 if ops.elem_ndim == 1 else (0, 0)
     for p in pts:
         if p is None:
-            xs.append(0)
-            ys.append(0)
+            xs.append(zero)
+            ys.append(zero)
             infs.append(True)
         else:
             xs.append(p[0])
@@ -156,23 +157,78 @@ def _host_points_to_jac(ops, pts) -> JPoint:
     return JPoint(x, y, z)
 
 
+_COMB_BITS = 8
+_comb_cache: dict = {}
+
+
+def _comb_table(ops, base_affine) -> JPoint:
+    """Host-precomputed fixed-base comb table as a device JPoint batch of
+    shape (n_windows, 2^c): T[w, d] = d * 2^(c*w) * base.
+
+    Each row is built incrementally (T[w, d] = T[w, d-1] + step), ~2^c
+    host adds per window — cheap because the base is FIXED (the 69/96
+    generators of fr.rs:106-113 times the CRS trapdoor happens later on
+    device).  Cached per (curve, base)."""
+    key = (ops.elem_ndim, base_affine)
+    hit = _comb_cache.get(key)
+    if hit is not None:
+        return hit
+    g1 = ops.elem_ndim == 1
+    addf = hc.g1_add if g1 else hc.g2_add
+    n_win = (params.LIMB_BITS * L) // _COMB_BITS
+    flat = []
+    step = base_affine
+    for _ in range(n_win):
+        row = [None]
+        for _ in range(1, 1 << _COMB_BITS):
+            row.append(addf(row[-1], step))
+        flat.extend(row)
+        for _ in range(_COMB_BITS):
+            step = addf(step, step)
+    pts = _host_points_to_jac(ops, flat)
+    table = JPoint(
+        pts.x.reshape((n_win, 1 << _COMB_BITS) + pts.x.shape[1:]),
+        pts.y.reshape((n_win, 1 << _COMB_BITS) + pts.y.shape[1:]),
+        pts.z.reshape((n_win, 1 << _COMB_BITS) + pts.z.shape[1:]))
+    _comb_cache[key] = table
+    return table
+
+
+@partial(jax.jit, static_argnums=0)
+def _comb_encrypt(ops, table: JPoint, digits: jnp.ndarray) -> JPoint:
+    """sum_w T[w, digit_{i,w}] per scalar i — one gather + one complete
+    add per window (n_windows total) instead of 256 double-and-add steps."""
+    m = digits.shape[0]
+
+    def body(acc, inp):
+        tx, ty, tz, dw = inp
+        pt = JPoint(jnp.take(tx, dw, axis=0), jnp.take(ty, dw, axis=0),
+                    jnp.take(tz, dw, axis=0))
+        return jac.add(ops, acc, pt), None
+
+    acc0 = jac.infinity(ops, (m,))
+    acc, _ = jax.lax.scan(
+        body, acc0, (table.x, table.y, table.z, digits.T))
+    return acc
+
+
 def _fixed_base_encrypt(ops, base_affine, scalars: Sequence[int],
                         pad_to: int = 0) -> JPoint:
     """E(s_i) = s_i * base for a vector of host-int scalars (device batch).
 
-    pad_to: round the batch up (zero scalars) so different CRS pieces share
-    one compiled scalar-mul kernel; the pad rows are sliced off."""
+    Fixed-base comb method: scalars are split into 8-bit digits; the
+    device does one table-gather + point add per digit window (32 adds
+    per element total).  pad_to: round the batch up (zero scalars) so
+    different CRS pieces share one compiled kernel; pad rows sliced off."""
     n = len(scalars)
     m = max(n, pad_to)
     padded = list(scalars) + [0] * (m - n)
-    x = jnp.broadcast_to(
-        jnp.asarray(ops.to_mont_np([base_affine[0]])),
-        (m,) + ((2, L) if ops.elem_ndim == 2 else (L,)))
-    y = jnp.broadcast_to(
-        jnp.asarray(ops.to_mont_np([base_affine[1]])), x.shape)
-    pts = jac.from_affine(ops, x, y)
-    slimbs = jnp.asarray(FR_CTX.to_limbs_np(padded))
-    out = msmod.batch_scalar_mul(ops, pts, slimbs)
+    table = _comb_table(ops, base_affine)
+    limbs = FR_CTX.to_limbs_np(padded).astype(np.int32)   # (m, L) 16-bit
+    digits = np.empty((m, 2 * L), dtype=np.int32)
+    digits[:, 0::2] = limbs & 0xFF
+    digits[:, 1::2] = limbs >> 8
+    out = _comb_encrypt(ops, table, jnp.asarray(digits))
     if m != n:
         out = JPoint(out.x[:n], out.y[:n], out.z[:n])
     return out
@@ -192,7 +248,18 @@ def device_setup(
 ) -> DeviceCRS:
     """CRS generation: the powers-of-tau/encryption loops (reference hot
     loop #2, groth16/mod.rs:139-194) as batched device scalar-muls."""
+    import os as _os
     import random as _random
+    import sys as _sys
+    import time as _time
+
+    _t0 = _time.time()
+    _verbose = bool(_os.environ.get("ZKSNARK_TPU_SETUP_TRACE"))
+
+    def _mark(label):
+        if _verbose:
+            print(f"[setup] {label} +{_time.time() - _t0:.1f}s",
+                  file=_sys.stderr, flush=True)
 
     f = FR_CTX.p
     if trapdoor is None:
@@ -229,10 +296,12 @@ def device_setup(
                     w_i = int(idx[g, j])
                     combined[w_i] = (combined[w_i] + v * lg) % f
 
+    _mark("lagrange+xi")
     accumulate(dqap.u, beta)
     accumulate(dqap.v, alpha)
     accumulate(dqap.w, 1)
 
+    _mark("accumulate")
     gamma_inv = pow(gamma, -1, f)
     delta_inv = pow(delta, -1, f)
 
@@ -255,10 +324,15 @@ def device_setup(
         delta=hc.g2_scalar_mul(g2_base, delta),
         xi=None)
 
+    _mark("host sigma")
     # big device parts (batched fixed-base scalar-muls); everything is
     # padded to n so the G1 pieces share ONE compiled kernel
     xi_g1 = _fixed_base_encrypt(FQ_OPS, g1_base, xi)
+    jax.block_until_ready(xi_g1.x)
+    _mark("xi_g1 encrypt")
     xi_g2 = _fixed_base_encrypt(FQ2_OPS, g2_base, xi)
+    jax.block_until_ready(xi_g2.x)
+    _mark("xi_g2 encrypt")
     xi_t = [p * t_x % f * delta_inv % f for p in xi[:-1]]
     xi_t_g1 = _fixed_base_encrypt(FQ_OPS, g1_base, xi_t, pad_to=n)
     sum_delta = [
@@ -268,6 +342,8 @@ def device_setup(
     sum_delta_g1 = _fixed_base_encrypt(FQ_OPS, g1_base, sum_delta,
                                        pad_to=n)
 
+    jax.block_until_ready(sum_delta_g1.x)
+    _mark("xi_t+sum_delta encrypt")
     return DeviceCRS(
         xi_g1=xi_g1, xi_t_g1=xi_t_g1, sum_delta_g1=sum_delta_g1,
         xi_g2=xi_g2, sigmag1=sigmag1, sigmag2=sigmag2)

@@ -168,6 +168,12 @@ def _device_flow(args, r1cs, code, field, be, trapdoor, ser):
         from .frontend.witness import weights as mk_weights
 
         w = mk_weights(code, _parse_ints(args.inputs), field)
+        if args.check_witness:  # host-side check, backend-independent
+            bad = r1cs.check_satisfied(w, field.p)
+            if bad:
+                print(f"prove: witness violates {len(bad)} constraint(s) "
+                      f"at roots {bad[:8]}{'...' if len(bad) > 8 else ''}")
+                return 3
         t0 = time.time()
         proof = prover.device_prove(dqap, dcrs, w)
         open(args.proof, "w").write(ser.proof_to_json(proof))

@@ -194,10 +194,20 @@ def _comb_table(ops, base_affine) -> JPoint:
     return table
 
 
+def _digits8(scalars_std: jnp.ndarray) -> jnp.ndarray:
+    """(m, L) standard-form 16-bit limbs -> (m, 2L) interleaved 8-bit comb
+    digits [lo0, hi0, lo1, hi1, ...]."""
+    lo = (scalars_std & jnp.uint32(0xFF)).astype(jnp.int32)
+    hi = (scalars_std >> 8).astype(jnp.int32)
+    return jnp.stack([lo, hi], axis=-1).reshape(scalars_std.shape[0], 2 * L)
+
+
 @partial(jax.jit, static_argnums=0)
-def _comb_encrypt(ops, table: JPoint, digits: jnp.ndarray) -> JPoint:
-    """sum_w T[w, digit_{i,w}] per scalar i — one gather + one complete
-    add per window (n_windows total) instead of 256 double-and-add steps."""
+def _comb_encrypt(ops, table: JPoint, scalars_std: jnp.ndarray) -> JPoint:
+    """E(s_i) = s_i * base via the comb table: one gather + one complete
+    add per 8-bit digit window (32 adds per element total) instead of 256
+    double-and-add steps.  scalars_std: (m, L) standard-form limbs."""
+    digits = _digits8(scalars_std)
     m = digits.shape[0]
 
     def body(acc, inp):
@@ -212,33 +222,63 @@ def _comb_encrypt(ops, table: JPoint, digits: jnp.ndarray) -> JPoint:
     return acc
 
 
-def _fixed_base_encrypt(ops, base_affine, scalars: Sequence[int],
+def _fixed_base_encrypt(ops, base_affine, scalars_std: jnp.ndarray,
                         pad_to: int = 0) -> JPoint:
-    """E(s_i) = s_i * base for a vector of host-int scalars (device batch).
+    """Batched fixed-base scalar-mul: E(s_i) = s_i * base.
 
-    Fixed-base comb method: scalars are split into 8-bit digits; the
-    device does one table-gather + point add per digit window (32 adds
-    per element total).  pad_to: round the batch up (zero scalars) so
-    different CRS pieces share one compiled kernel; pad rows sliced off."""
-    n = len(scalars)
+    scalars_std: device (m, L) standard-form limbs.  pad_to: round the
+    batch up (zero scalars) so different CRS pieces share one compiled
+    kernel; pad rows are sliced off."""
+    n = scalars_std.shape[0]
     m = max(n, pad_to)
-    padded = list(scalars) + [0] * (m - n)
+    if m != n:
+        scalars_std = jnp.concatenate(
+            [scalars_std, jnp.zeros((m - n, L), jnp.uint32)])
     table = _comb_table(ops, base_affine)
-    limbs = FR_CTX.to_limbs_np(padded).astype(np.int32)   # (m, L) 16-bit
-    digits = np.empty((m, 2 * L), dtype=np.int32)
-    digits[:, 0::2] = limbs & 0xFF
-    digits[:, 1::2] = limbs >> 8
-    out = _comb_encrypt(ops, table, jnp.asarray(digits))
+    out = _comb_encrypt(ops, table, scalars_std)
     if m != n:
         out = JPoint(out.x[:n], out.y[:n], out.z[:n])
     return out
 
 
-def batch_to_affine_host(ops, pts: JPoint):
-    """Device batch -> list of host affine points (None = infinity), using
-    two associative scans + one inversion for the batched Z normalization."""
-    ctx = ops.ctx if ops.elem_ndim == 1 else ops.base.ctx
-    return jac.to_affine_np(ops, pts)
+@partial(jax.jit, static_argnums=(0, 1))
+def _setup_scalars(domain, num_wires: int, ells, xi_mont: jnp.ndarray,
+                   alpha_mont: jnp.ndarray, beta_mont: jnp.ndarray,
+                   txd_mont: jnp.ndarray, dinv_mont: jnp.ndarray):
+    """Device stage of setup: all CRS scalar vectors in one jit.
+
+    - Lagrange-basis values at the trapdoor point x in ONE iNTT:
+      L_g(x) = (1/n) sum_j w^{-gj} x^j = iNTT(xi)[g]  — replaces the
+      reference's per-wire polynomial evaluations (mod.rs:147-164);
+    - combined_i = beta*u_i(x) + alpha*v_i(x) + w_i(x) per wire as a
+      segmented field sum over the ELL entries (ops/scans.py);
+    - xi_t and sum_delta scalars as pointwise Montgomery products.
+
+    Returns standard-form (xi, xi_t, sum_delta scalars, combined head).
+    """
+    from ..ops import scans
+
+    lag = nttmod.intt(domain, xi_mont)  # (n, L) Montgomery L_g(x)
+
+    def prods(ell_idx, ell_val, scale):
+        lg = lag if scale is None else mont_mul(FR_CTX, lag, scale[None, :])
+        pr = mont_mul(FR_CTX, ell_val, lg[:, None, :])   # (n, k, L)
+        return pr.reshape(-1, L), ell_idx.reshape(-1)
+
+    (u_idx, u_val), (v_idx, v_val), (w_idx, w_val) = ells
+    pu, iu = prods(u_idx, u_val, beta_mont)
+    pv, iv = prods(v_idx, v_val, alpha_mont)
+    pw, iw = prods(w_idx, w_val, None)
+    combined = scans.field_segment_sums(
+        FR_CTX, jnp.concatenate([iu, iv, iw]),
+        jnp.concatenate([pu, pv, pw]), num_wires)   # (num_wires, L) mont
+
+    xi_std = from_mont(FR_CTX, xi_mont)
+    xi_t_std = from_mont(
+        FR_CTX, mont_mul(FR_CTX, xi_mont[:-1], txd_mont[None, :]))
+    sum_delta_std = from_mont(
+        FR_CTX, mont_mul(FR_CTX, combined, dinv_mont[None, :]))
+    return xi_std, xi_t_std, sum_delta_std, combined
 
 
 def device_setup(
@@ -247,7 +287,11 @@ def device_setup(
     rng=None,
 ) -> DeviceCRS:
     """CRS generation: the powers-of-tau/encryption loops (reference hot
-    loop #2, groth16/mod.rs:139-194) as batched device scalar-muls."""
+    loop #2, groth16/mod.rs:139-194) as device kernels end-to-end —
+    one iNTT for the Lagrange values, a segmented field sum for the
+    per-wire combination, and batched fixed-base comb scalar-muls for
+    every encryption.  Host work is O(n) bigint powers + O(input) sigma
+    points."""
     import os as _os
     import random as _random
     import sys as _sys
@@ -256,8 +300,10 @@ def device_setup(
     _t0 = _time.time()
     _verbose = bool(_os.environ.get("ZKSNARK_TPU_SETUP_TRACE"))
 
-    def _mark(label):
-        if _verbose:
+    def _mark(label, *arrs):
+        if _verbose:  # sync only when tracing: keeps stages overlapped
+            for a in arrs:
+                jax.block_until_ready(a)
             print(f"[setup] {label} +{_time.time() - _t0:.1f}s",
                   file=_sys.stderr, flush=True)
 
@@ -268,50 +314,35 @@ def device_setup(
     alpha, beta, gamma, delta, x = (t % f for t in trapdoor)
     n = dqap.n
 
-    # xi = x^0 .. x^{n-1}
+    # xi = x^0 .. x^{n-1} (host pow table; O(n) bigint mults)
     xi = [1] * n
     for i in range(1, n):
         xi[i] = xi[i - 1] * x % f
+    xi_mont = jnp.asarray(FR_CTX.to_mont_np(xi))
 
-    # Lagrange-basis values on the domain at x:  L_g(x) = w^g/n * t(x)/(x-w^g)
     t_x = (pow(x, n, f) - 1) % f
-    roots = domain_roots(dqap.domain)
-    n_inv = pow(n, -1, f)
-    lag = [
-        (r * n_inv % f) * t_x % f * pow((x - r) % f, -1, f) % f
-        for r in roots
-    ]
-
-    # combined_i = beta*u_i(x) + alpha*v_i(x) + w_i(x) per wire (host sparse)
-    combined = [0] * dqap.num_wires
-
-    def accumulate(ell: EllMatrix, scale: int):
-        idx = np.asarray(ell.idx)
-        vals = FR_CTX.from_mont_np(np.asarray(ell.val))
-        for g in range(idx.shape[0]):
-            lg = lag[g] * scale % f
-            for j in range(idx.shape[1]):
-                v = int(vals[g, j])
-                if v:
-                    w_i = int(idx[g, j])
-                    combined[w_i] = (combined[w_i] + v * lg) % f
-
-    _mark("lagrange+xi")
-    accumulate(dqap.u, beta)
-    accumulate(dqap.v, alpha)
-    accumulate(dqap.w, 1)
-
-    _mark("accumulate")
     gamma_inv = pow(gamma, -1, f)
     delta_inv = pow(delta, -1, f)
+    _mark("xi host powers")
+
+    ells = ((dqap.u.idx, dqap.u.val), (dqap.v.idx, dqap.v.val),
+            (dqap.w.idx, dqap.w.val))
+    to_m = lambda v: jnp.asarray(FR_CTX.to_mont_np([v])[0])  # noqa: E731
+    xi_std, xi_t_std, sum_delta_std, _ = _setup_scalars(
+        dqap.domain, dqap.num_wires, ells, xi_mont,
+        to_m(alpha), to_m(beta), to_m(t_x * delta_inv % f),
+        to_m(delta_inv))
+    _mark("setup scalars (iNTT + segmented sum)", xi_std)
 
     g1_base = hc.g1_scalar_mul(hc.G1_GEN_PT, params.ENCRYPT_G1_SCALE)
     g2_base = hc.g2_scalar_mul(hc.G2_GEN, params.ENCRYPT_G2_SCALE)
 
-    # small host parts
+    # small host parts: sum_gamma needs the first input+1 combined values
+    head = sum_delta_std[:dqap.input + 1]
+    head_ints = FR_CTX.from_limbs_np(np.asarray(head))
     sum_gamma = [
-        hc.g1_scalar_mul(g1_base, combined[i] * gamma_inv % f)
-        for i in range(min(dqap.input + 1, dqap.num_wires))
+        hc.g1_scalar_mul(g1_base, int(c) * delta % f * gamma_inv % f)
+        for c in head_ints
     ]
     sigmag1 = SigmaG1(
         alpha=hc.g1_scalar_mul(g1_base, alpha),
@@ -323,27 +354,17 @@ def device_setup(
         gamma=hc.g2_scalar_mul(g2_base, gamma),
         delta=hc.g2_scalar_mul(g2_base, delta),
         xi=None)
-
     _mark("host sigma")
-    # big device parts (batched fixed-base scalar-muls); everything is
-    # padded to n so the G1 pieces share ONE compiled kernel
-    xi_g1 = _fixed_base_encrypt(FQ_OPS, g1_base, xi)
-    jax.block_until_ready(xi_g1.x)
-    _mark("xi_g1 encrypt")
-    xi_g2 = _fixed_base_encrypt(FQ2_OPS, g2_base, xi)
-    jax.block_until_ready(xi_g2.x)
-    _mark("xi_g2 encrypt")
-    xi_t = [p * t_x % f * delta_inv % f for p in xi[:-1]]
-    xi_t_g1 = _fixed_base_encrypt(FQ_OPS, g1_base, xi_t, pad_to=n)
-    sum_delta = [
-        combined[i] * delta_inv % f
-        for i in range(dqap.input + 1, dqap.num_wires)
-    ]
-    sum_delta_g1 = _fixed_base_encrypt(FQ_OPS, g1_base, sum_delta,
-                                       pad_to=n)
 
-    jax.block_until_ready(sum_delta_g1.x)
-    _mark("xi_t+sum_delta encrypt")
+    # big device parts; G1 pieces padded to n to share ONE compiled kernel
+    xi_g1 = _fixed_base_encrypt(FQ_OPS, g1_base, xi_std)
+    _mark("xi_g1 encrypt", xi_g1.x)
+    xi_g2 = _fixed_base_encrypt(FQ2_OPS, g2_base, xi_std)
+    _mark("xi_g2 encrypt", xi_g2.x)
+    xi_t_g1 = _fixed_base_encrypt(FQ_OPS, g1_base, xi_t_std, pad_to=n)
+    sum_delta_g1 = _fixed_base_encrypt(
+        FQ_OPS, g1_base, sum_delta_std[dqap.input + 1:], pad_to=n)
+    _mark("xi_t+sum_delta encrypt", xi_t_g1.x, sum_delta_g1.x)
     return DeviceCRS(
         xi_g1=xi_g1, xi_t_g1=xi_t_g1, sum_delta_g1=sum_delta_g1,
         xi_g2=xi_g2, sigmag1=sigmag1, sigmag2=sigmag2)
@@ -389,17 +410,18 @@ def _witness_quotient(domain, n_input: int, ell_arrays,
 
 def _pad_msm(ops, pts: JPoint, scalars: jnp.ndarray, n: int):
     """Pad an MSM instance to exactly n terms (infinity points, zero
-    scalars) so same-size MSMs share one compiled kernel."""
-    cur = scalars.shape[0]
-    if cur >= n:
-        return pts, scalars
-    pad = n - cur
-    inf = jac.infinity(ops, (pad,))
-    pts = JPoint(jnp.concatenate([pts.x, inf.x]),
-                 jnp.concatenate([pts.y, inf.y]),
-                 jnp.concatenate([pts.z, inf.z]))
-    scalars = jnp.concatenate(
-        [scalars, jnp.zeros((pad, L), dtype=jnp.uint32)])
+    scalars) so same-size MSMs share one compiled kernel.  Points and
+    scalars are padded independently (their lengths may differ when the
+    caller over-provisioned the point table)."""
+    if pts.z.shape[0] < n:
+        inf = jac.infinity(ops, (n - pts.z.shape[0],))
+        pts = JPoint(jnp.concatenate([pts.x, inf.x]),
+                     jnp.concatenate([pts.y, inf.y]),
+                     jnp.concatenate([pts.z, inf.z]))
+    if scalars.shape[0] < n:
+        scalars = jnp.concatenate(
+            [scalars,
+             jnp.zeros((n - scalars.shape[0], L), dtype=jnp.uint32)])
     return pts, scalars
 
 
@@ -448,7 +470,7 @@ def device_prove(
     crs_arrays = (crs.xi_g1, crs.xi_t_g1, crs.sum_delta_g1, crs.xi_g2)
     ell_arrays = ((dqap.u.idx, dqap.u.val), (dqap.v.idx, dqap.v.val),
                   (dqap.w.idx, dqap.w.val))
-    window_bits = 16 if dqap.n >= (1 << 18) else 8
+    window_bits = msmod.pick_window_bits(dqap.n)
     a_g1, b_g1, b_g2, h_xt, c_delta = _prove_core(
         dqap.domain, dqap.input, window_bits, ell_arrays, crs_arrays,
         weights_mont)

@@ -116,7 +116,9 @@ def mont_mul_pallas(ctx: MontCtx, a: jnp.ndarray, b: jnp.ndarray,
 
     a, b: (N, L) uint32 Montgomery limbs, N a multiple of TILE (pad
     upstream).  Returns (N, L).  interpret=True runs the kernel body on
-    plain arrays (CPU harness; no pallas import).
+    plain arrays via _EmuRef (the CPU harness detaches the TPU platform,
+    which breaks pallas interpret mode itself — so the real pallas_call
+    below always runs compiled, never interpreted).
     """
     n = a.shape[0]
     pad = (-n) % TILE
@@ -148,7 +150,6 @@ def mont_mul_pallas(ctx: MontCtx, a: jnp.ndarray, b: jnp.ndarray,
             pl.BlockSpec((L, TILE), lambda i: (0, i)),
         ],
         out_specs=pl.BlockSpec((L, TILE), lambda i: (0, i)),
-        interpret=interpret,
     )(at, bt)
     res = out.T
     return res[:n] if pad else res

@@ -9,19 +9,24 @@ data-dependent control flow, and — because XLA compile cost scales with
 graph size — a *bounded number of point-add instantiations* regardless of
 problem size):
 
-- window size c = 16 bits == one scalar limb, so the window digits ARE the
-  scalar's limb columns: exactly 16 windows, no cross-limb bit surgery;
-- per window, points are sorted by digit and bucket sums are read off a
-  prefix scan of the sorted points (EC addition is associative).  The scan
-  is a two-level Hillis-Steele network driven by ``lax.fori_loop`` — three
-  instantiations of the combine total, O(log) depth;
+- generic c-bit windows (digits are extracted across the 16-bit limb
+  boundaries with precomputed shift tables); ONE batched argsort orders
+  all windows' digit columns at once, outside the per-window scan;
+- per window, bucket sums are read off a prefix scan of the sorted
+  points (EC addition is associative).  The scan is *work-efficient*:
+  points are laid out as (chunks, 64) and a ``lax.scan`` walks the 64
+  sequential positions with all chunks in vector lanes — ~2N point-adds
+  total versus N log N for a Hillis-Steele network, with every add
+  running at full VPU width;
 - the weighted bucket reduction uses Abel summation:
-      sum_j j*B_j  =  2^16 * E_top - sum_j E_j
+      sum_j j*B_j  =  2^c * E_top - sum_j E_j
   where E_j is the forward-filled prefix at the end of bucket j — this
   removes the suffix scan and every per-bucket scalar multiplication
-  (E_top is just the window's total point sum; 2^16 * x is 16 doublings);
-- the 16 windows run under one ``lax.scan``; the cross-window Horner tail
-  is another scan with a fori-doubling body.
+  (E_top is just the window's total point sum; 2^c * x is c doublings);
+- the windows run under one ``lax.scan``; the cross-window Horner tail
+  is another scan with a fori-doubling body;
+- `msm_stack` runs a whole batch of same-shape MSM instances under one
+  more ``lax.scan``, so the prover's four G1 MSMs cost ONE compile.
 
 All scalars are STANDARD-form (non-Montgomery) 16x16-bit limb vectors;
 points are batched Jacobian pytrees (`curve.jacobian.JPoint`).
@@ -33,6 +38,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..curve import jacobian as jac
 from ..curve.jacobian import JPoint
@@ -40,6 +46,7 @@ from ..field import params
 
 L = params.NUM_LIMBS
 WINDOW_BITS = params.LIMB_BITS  # default window; msm() picks per-size
+_CHUNK = 64  # sequential steps per scan level (lanes = n / _CHUNK)
 
 
 def _concat(ops, a: JPoint, b: JPoint) -> JPoint:
@@ -54,27 +61,33 @@ def _reshape(p: JPoint, shape, batch_ndim: int) -> JPoint:
                   p.z.reshape(shape + p.z.shape[batch_ndim:]))
 
 
+def _moveaxis(p: JPoint, src: int, dst: int) -> JPoint:
+    return JPoint(jnp.moveaxis(p.x, src, dst), jnp.moveaxis(p.y, src, dst),
+                  jnp.moveaxis(p.z, src, dst))
+
+
 def _roll(p: JPoint, shift, axis) -> JPoint:
     return JPoint(jnp.roll(p.x, shift, axis=axis),
                   jnp.roll(p.y, shift, axis=axis),
                   jnp.roll(p.z, shift, axis=axis))
 
 
-def _hs_scan_axis(ops, pts: JPoint, combine, axis: int, size: int) -> JPoint:
-    """Inclusive Hillis-Steele prefix scan along `axis` (identity =
-    infinity): ONE combine instantiation, ceil(log2(size)) fori rounds."""
+def _hs_scan(ops, pts: JPoint, combine) -> JPoint:
+    """Inclusive Hillis-Steele prefix scan along axis 0 (identity =
+    infinity): ONE combine instantiation, ceil(log2(size)) fori rounds.
+    Only used for small sizes (level-2 chunk totals)."""
+    size = pts.z.shape[0]
     if size <= 1:
         return pts
     log = (size - 1).bit_length()
     batch_shape = pts.z.shape[:pts.z.ndim - ops.elem_ndim]
-    idx_shape = [1] * len(batch_shape)
-    idx_shape[axis] = size
-    pos = jax.lax.broadcasted_iota(jnp.int32, tuple(idx_shape), axis)
+    pos = jax.lax.broadcasted_iota(jnp.int32, (size,) + (1,) * (
+        len(batch_shape) - 1), 0)
     inf = jac.infinity(ops, batch_shape)
 
     def body(i, x):
         shift = jnp.int32(1) << i
-        partner = _roll(x, shift, axis)
+        partner = _roll(x, shift, 0)
         vmask = jnp.broadcast_to(pos >= shift, batch_shape)
         partner = jac.select(ops, vmask, partner, inf)
         return combine(partner, x)
@@ -82,28 +95,50 @@ def _hs_scan_axis(ops, pts: JPoint, combine, axis: int, size: int) -> JPoint:
     return jax.lax.fori_loop(0, log, body, pts)
 
 
-def _prefix_scan(ops, pts: JPoint, combine=None, chunk: int = 128) -> JPoint:
-    """Two-level work-reduced inclusive prefix scan over axis 0.
+def _pad_to(ops, pts: JPoint, m: int) -> JPoint:
+    n = pts.z.shape[0]
+    if m == n:
+        return pts
+    return _concat(ops, pts, jac.infinity(ops, (m - n,)))
+
+
+def _scan_chunks(ops, pts: JPoint, combine, c: int, collect: bool):
+    """Reshape (B*c,) -> (B, c) and lax.scan the c sequential positions
+    with all B chunks in vector lanes.  Returns (totals(B,), within(B,c))
+    — `within` only when collect (prefix values), else None."""
+    n = pts.z.shape[0]
+    b = -(-n // c)
+    pts = _pad_to(ops, pts, b * c)
+    grid = _moveaxis(_reshape(pts, (b, c), 1), 1, 0)  # (c, B, elem)
+    carry0 = jac.infinity(ops, (b,))
+
+    def body(carry, col):
+        nxt = combine(carry, JPoint(*col))
+        return nxt, (tuple(nxt) if collect else None)
+
+    last, ys = jax.lax.scan(body, carry0, tuple(grid))
+    within = _moveaxis(JPoint(*ys), 0, 1) if collect else None  # (B, c)
+    return last, within
+
+
+def _prefix_scan(ops, pts: JPoint, combine=None) -> JPoint:
+    """Work-efficient inclusive prefix scan over axis 0 (~2N combines).
 
     combine=None means Jacobian add; any associative combine with identity
     = infinity works (e.g. the keep-last fill combine)."""
     comb = (partial(jac.add, ops)) if combine is None else combine
     n = pts.z.shape[0]
-    c = min(chunk, n)
-    b = -(-n // c)
-    pad = b * c - n
-    if pad:
-        pts = _concat(ops, pts, jac.infinity(ops, (pad,)))
-    grid = _reshape(pts, (b, c), 1)
-    within = _hs_scan_axis(ops, grid, comb, axis=1, size=c)
-    totals = JPoint(within.x[:, -1], within.y[:, -1], within.z[:, -1])
+    if n <= 2 * _CHUNK:
+        return _hs_scan(ops, pts, comb)
+    totals, within = _scan_chunks(ops, pts, comb, _CHUNK, collect=True)
+    b = totals.z.shape[0]
     # exclusive scan of chunk totals: shift right, then inclusive scan
     shifted = _concat(ops, jac.infinity(ops, (1,)),
                       JPoint(totals.x[:-1], totals.y[:-1], totals.z[:-1]))
-    carry = _hs_scan_axis(ops, shifted, comb, axis=0, size=b)
+    carry = _prefix_scan(ops, shifted, comb)
     carry_b = JPoint(carry.x[:, None], carry.y[:, None], carry.z[:, None])
     full = comb(_broadcast_like(ops, carry_b, within), within)
-    out = _reshape(full, (b * c,), 2)
+    out = _reshape(full, (b * _CHUNK,), 2)
     return JPoint(out.x[:n], out.y[:n], out.z[:n])
 
 
@@ -118,8 +153,14 @@ def _last(p: JPoint) -> JPoint:
 
 
 def tree_sum(ops, pts: JPoint) -> JPoint:
-    """Total sum of a batch of points (last element of the prefix scan)."""
-    return _last(_prefix_scan(ops, pts))
+    """Total sum of a batch of points: repeated chunked scan-sums (work N,
+    ONE add instantiation per level, <= 3 levels for n <= 2^18)."""
+    comb = partial(jac.add, ops)
+    while pts.z.shape[0] > 1:
+        n = pts.z.shape[0]
+        c = min(_CHUNK, n)
+        pts, _ = _scan_chunks(ops, pts, comb, c, collect=False)
+    return JPoint(pts.x[0], pts.y[0], pts.z[0])
 
 
 def _keep_last(ops):
@@ -132,17 +173,16 @@ def _keep_last(ops):
 def batch_scalar_mul(ops, pts: JPoint, scalar_limbs: jnp.ndarray) -> JPoint:
     """[s_i] P_i for every i — MSB-first double-and-add under lax.scan.
 
-    scalar_limbs: (N, L) standard-form uint32 limbs.  Used for CRS
-    generation (powers-of-tau encryption, setup hot loop #2).
-    """
-    n_bits = WINDOW_BITS * L  # 256; top bits of field scalars are zero
+    scalar_limbs: (N, L) standard-form uint32 limbs.  The small-N /
+    correctness-oracle path (msm_naive)."""
+    n_bits = params.LIMB_BITS * L  # 256; top bits of field scalars are zero
     acc0 = jac.infinity(ops, (pts.z.shape[0],))
 
     def body(acc, t):
         bit_t = n_bits - 1 - t
         limb = jax.lax.dynamic_index_in_dim(
-            scalar_limbs, bit_t // WINDOW_BITS, axis=1, keepdims=False)
-        bit = (limb >> (bit_t % WINDOW_BITS)) & 1
+            scalar_limbs, bit_t // params.LIMB_BITS, axis=1, keepdims=False)
+        bit = (limb >> (bit_t % params.LIMB_BITS)) & 1
         acc = jac.double(ops, acc)
         added = jac.add(ops, acc, pts)
         return jac.select(ops, bit.astype(bool), added, acc), None
@@ -163,20 +203,32 @@ def _take_points(pts: JPoint, idx) -> JPoint:
 
 def _digit_columns(scalar_limbs: jnp.ndarray, c: int) -> jnp.ndarray:
     """(N, L) 16-bit limbs -> (n_windows, N) c-bit digit columns (LSB
-    window first).  c must divide 16."""
-    per = params.LIMB_BITS // c
+    window first).  Window w covers scalar bits [w*c, (w+1)*c); digits may
+    straddle limb boundaries (handled with a two-limb shift-or)."""
+    lb = params.LIMB_BITS
+    n_bits = lb * L
+    n_win = -(-n_bits // c)
+    mask = jnp.uint32((1 << c) - 1)
+    # limbs padded with one zero limb so limb[lo+1] always exists
+    padded = jnp.concatenate(
+        [scalar_limbs,
+         jnp.zeros(scalar_limbs.shape[:-1] + (1,), scalar_limbs.dtype)],
+        axis=-1)
     cols = []
-    for w in range(L * per):
-        limb = scalar_limbs[:, w // per]
-        cols.append((limb >> (c * (w % per))) & ((1 << c) - 1))
+    for w in range(n_win):
+        bit0 = w * c
+        lo, sh = bit0 // lb, bit0 % lb
+        d = padded[:, lo] >> sh
+        if sh + c > lb:
+            d = d | (padded[:, lo + 1] << (lb - sh))
+        cols.append(d & mask)
     return jnp.stack(cols)
 
 
-def _bucket_window(ops, pts: JPoint, digits: jnp.ndarray,
-                   num_buckets: int) -> JPoint:
-    """sum_i digit_i * P_i for one c-bit window (see module doc)."""
-    order = jnp.argsort(digits)
-    d_sorted = jnp.take(digits, order)
+def _bucket_window_sorted(ops, pts: JPoint, order: jnp.ndarray,
+                          d_sorted: jnp.ndarray, num_buckets: int) -> JPoint:
+    """sum_i digit_i * P_i for one c-bit window, given the sort permutation
+    and pre-sorted digits (see module doc)."""
     p_sorted = _take_points(pts, order)
 
     prefix = _prefix_scan(ops, p_sorted)
@@ -204,16 +256,21 @@ def _bucket_window(ops, pts: JPoint, digits: jnp.ndarray,
     return jac.add(ops, lhs, jac.neg(ops, rhs))
 
 
-@partial(jax.jit, static_argnums=(0, 3))
-def _msm_windowed(ops, pts: JPoint, scalar_limbs: jnp.ndarray,
-                  window_bits: int) -> JPoint:
-    digit_cols = _digit_columns(scalar_limbs, window_bits)
+def _msm_impl(ops, pts: JPoint, scalar_limbs: jnp.ndarray,
+              window_bits: int) -> JPoint:
+    digit_cols = _digit_columns(scalar_limbs, window_bits)  # (n_win, N)
     n_win = digit_cols.shape[0]
+    # ONE batched sort for all windows (axis-1 comparator network)
+    order = jnp.argsort(digit_cols, axis=1).astype(jnp.int32)
+    d_sorted = jnp.take_along_axis(digit_cols, order, axis=1)
 
-    def window_body(_, digits):
-        return None, _bucket_window(ops, pts, digits, 1 << window_bits)
+    def window_body(_, xs):
+        order_w, d_w = xs
+        return None, tuple(_bucket_window_sorted(
+            ops, pts, order_w, d_w, 1 << window_bits))
 
-    _, window_sums = jax.lax.scan(window_body, None, digit_cols)
+    _, window_sums = jax.lax.scan(window_body, None, (order, d_sorted))
+    window_sums = JPoint(*window_sums)
 
     # Horner across windows, MSB window first: acc = 2^c * acc + W_w
     def horner_body(acc, w):
@@ -227,16 +284,48 @@ def _msm_windowed(ops, pts: JPoint, scalar_limbs: jnp.ndarray,
     return acc
 
 
+@partial(jax.jit, static_argnums=(0, 3))
+def _msm_windowed(ops, pts: JPoint, scalar_limbs: jnp.ndarray,
+                  window_bits: int) -> JPoint:
+    return _msm_impl(ops, pts, scalar_limbs, window_bits)
+
+
+def pick_window_bits(n: int) -> int:
+    """Balance per-window point work (~2N adds regardless of c) against
+    bucket-side work (~3 * 2^c adds): c ~ log2(N) - 2, clamped to [4, 16].
+    Fewer windows = fewer sequential passes over the points."""
+    return max(4, min(16, n.bit_length() - 3))
+
+
 def msm(ops, pts: JPoint, scalar_limbs: jnp.ndarray,
         window_bits: int = 0) -> JPoint:
     """Pippenger MSM: returns the single point sum_i s_i * P_i.
 
     pts: JPoint batch of N points; scalar_limbs: (N, L) standard form.
-    window_bits 0 = auto (8 below ~2^18 points, 16 above: balances the
-    per-window bucket-array scans against per-point work)."""
+    window_bits 0 = auto (pick_window_bits)."""
     if window_bits == 0:
-        window_bits = 16 if pts.z.shape[0] >= (1 << 18) else 8
+        window_bits = pick_window_bits(pts.z.shape[0])
     return _msm_windowed(ops, pts, scalar_limbs, window_bits)
+
+
+@partial(jax.jit, static_argnums=(0, 3))
+def msm_stack(ops, pts: JPoint, scalar_limbs: jnp.ndarray,
+              window_bits: int) -> JPoint:
+    """A batch of m same-size MSM instances under ONE lax.scan: the full
+    Pippenger graph is compiled once, not m times (the prover's four G1
+    MSMs share this kernel).
+
+    pts: JPoint with leading (m, N) axes; scalar_limbs: (m, N, L).
+    Returns a JPoint batch of m sums."""
+
+    def body(_, xs):
+        px, py, pz, s = xs
+        return None, tuple(_msm_impl(ops, JPoint(px, py, pz), s,
+                                     window_bits))
+
+    _, outs = jax.lax.scan(
+        body, None, (pts.x, pts.y, pts.z, scalar_limbs))
+    return JPoint(*outs)
 
 
 @partial(jax.jit, static_argnums=0)

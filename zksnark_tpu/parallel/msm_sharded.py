@@ -8,20 +8,25 @@ kernel, and combine the per-chip partial sums with an ``all_gather`` +
 local Jacobian reduction (EC points have no hardware psum; the gather moves
 just 3 field elements per chip over ICI).
 
+Compile economics: the jitted shard_map callable is built once per
+(ops, mesh, axis, window_bits, pippenger) configuration and cached, so the
+prover's four same-shape G1 MSMs share ONE compiled executable instead of
+re-tracing a fresh closure per call (this is what made the round-1
+multi-chip dryrun time out on a small host).
+
 Works identically on a real TPU slice and on the CPU-mesh test harness
 (XLA_FLAGS=--xla_force_host_platform_device_count=N).
 """
 
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache
 
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax.experimental.shard_map import shard_map
 
-from ..curve import jacobian as jac
 from ..curve.jacobian import JPoint
 from ..ops import msm as msmod
 
@@ -41,19 +46,17 @@ def shard_points(mesh: Mesh, pts: JPoint, axis: str = "shard") -> JPoint:
                   jax.device_put(pts.z, sh))
 
 
-def msm_sharded(ops, mesh: Mesh, pts: JPoint, scalar_limbs: jnp.ndarray,
-                axis: str = "shard", window_bits: int = 8,
-                use_pippenger: bool = True) -> JPoint:
-    """MSM over a sharded point array: per-chip Pippenger + gather-reduce.
-
-    N must be divisible by the mesh size (pad with infinity upstream).
-    """
+@lru_cache(maxsize=None)
+def _sharded_msm_fn(ops, mesh: Mesh, axis: str, window_bits: int,
+                    use_pippenger: bool):
+    """One jitted shard_map MSM per configuration (see module doc)."""
 
     def local(pts_l: JPoint, scalars_l: jnp.ndarray) -> JPoint:
         if use_pippenger:
-            part = msmod._msm_windowed(ops, pts_l, scalars_l, window_bits)
+            part = msmod._msm_impl(ops, pts_l, scalars_l, window_bits)
         else:
-            part = msmod.msm_naive(ops, pts_l, scalars_l)
+            part = msmod.tree_sum(
+                ops, msmod.batch_scalar_mul(ops, pts_l, scalars_l))
         # (elem,) partial per chip -> stack across chips, reduce locally
         gathered = jax.lax.all_gather(part, axis)  # (n_dev, elem)
         return msmod.tree_sum(ops, gathered)
@@ -64,4 +67,15 @@ def msm_sharded(ops, mesh: Mesh, pts: JPoint, scalar_limbs: jnp.ndarray,
         out_specs=JPoint(P(), P(), P()),
         check_rep=False,
     )
+    return jax.jit(fn)
+
+
+def msm_sharded(ops, mesh: Mesh, pts: JPoint, scalar_limbs: jnp.ndarray,
+                axis: str = "shard", window_bits: int = 8,
+                use_pippenger: bool = True) -> JPoint:
+    """MSM over a sharded point array: per-chip Pippenger + gather-reduce.
+
+    N must be divisible by the mesh size (pad with infinity upstream).
+    """
+    fn = _sharded_msm_fn(ops, mesh, axis, window_bits, use_pippenger)
     return fn(pts, scalar_limbs)

@@ -1,7 +1,7 @@
 """Multi-chip Groth16 prove step over a jax.sharding.Mesh.
 
-Round-1 scale-out layout (SURVEY.md §2 #21/#22: the reference has no
-parallelism at all — this axis is new):
+Scale-out layout (SURVEY.md §2 #21/#22: the reference has no parallelism
+at all — this axis is new):
 
 - **witness reduction** (ELL gather-mul-sum): gate-sharded ("shard" axis),
   combined with an all_gather of the per-shard evaluation slices;
@@ -11,33 +11,32 @@ parallelism at all — this axis is new):
 - **MSMs**: point-sharded per chip (local Pippenger) with the per-chip
   partial sums gathered and folded (see `msm_sharded`).
 
+Compile economics: every shard_map callable here is built once per
+(mesh, domain) configuration and cached, so the four same-shape G1 MSMs
+and repeated prove steps reuse compiled executables.
+
 `sharded_prove_step` returns the same Jacobian partials as the single-chip
 `groth16.prover._prove_core`, so `device_prove` semantics carry over.
 """
 
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache
 
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 from jax.experimental.shard_map import shard_map
 
-from ..curve import jacobian as jac
-from ..curve.jacobian import JPoint
 from ..curve.field_ops import FQ2_OPS, FQ_OPS
 from ..field.limb import FR_CTX, from_mont
 from ..groth16 import prover as prover_mod
-from ..ops import msm as msmod
 from ..ops import ntt as nttmod
 from .msm_sharded import msm_sharded
 
 
-def sharded_witness_quotient(mesh: Mesh, domain, n_input: int, ell_arrays,
-                             weights_mont: jnp.ndarray, axis: str = "shard"):
-    """Gate-sharded ELL reduction + (replicated) NTT quotient pipeline."""
-
+@lru_cache(maxsize=None)
+def _sharded_quotient_fn(mesh: Mesh, domain, axis: str):
     def local(u_idx, u_val, v_idx, v_val, w_idx, w_val, weights):
         u_l = prover_mod._weighted_evals(u_idx, u_val, weights)
         v_l = prover_mod._weighted_evals(v_idx, v_val, weights)
@@ -52,7 +51,6 @@ def sharded_witness_quotient(mesh: Mesh, domain, n_input: int, ell_arrays,
         return (from_mont(FR_CTX, u_c), from_mont(FR_CTX, v_c),
                 from_mont(FR_CTX, h_c))
 
-    (u_idx, u_val), (v_idx, v_val), (w_idx, w_val) = ell_arrays
     fn = shard_map(
         local, mesh=mesh,
         in_specs=(P(axis), P(axis), P(axis), P(axis), P(axis), P(axis),
@@ -60,6 +58,14 @@ def sharded_witness_quotient(mesh: Mesh, domain, n_input: int, ell_arrays,
         out_specs=(P(), P(), P()),
         check_rep=False,
     )
+    return jax.jit(fn)
+
+
+def sharded_witness_quotient(mesh: Mesh, domain, n_input: int, ell_arrays,
+                             weights_mont: jnp.ndarray, axis: str = "shard"):
+    """Gate-sharded ELL reduction + (replicated) NTT quotient pipeline."""
+    (u_idx, u_val), (v_idx, v_val), (w_idx, w_val) = ell_arrays
+    fn = _sharded_quotient_fn(mesh, domain, axis)
     return fn(u_idx, u_val, v_idx, v_val, w_idx, w_val, weights_mont)
 
 

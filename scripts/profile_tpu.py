@@ -30,6 +30,8 @@ from zksnark_tpu.ops import ntt as nttmod
 LOG_N = int(os.environ.get("LOG_N", "16"))
 PIECES = set(os.environ.get("PIECES", "").split(",")) - {""}
 n = 1 << LOG_N
+from zksnark_tpu.field import params as _fp
+LL = _fp.NUM_LIMBS
 print(f"[prof] devices={jax.devices()} n={n}", flush=True)
 
 
@@ -53,18 +55,18 @@ def bench(name, fn, *args, reps=3):
 
 rng = np.random.default_rng(0)
 scalars_int = [int(rng.integers(1, 1 << 62)) for _ in range(n)]
-scalars = jnp.asarray(FR_CTX.to_limbs_np(scalars_int).astype(np.uint32))
+scalars = jnp.asarray(FR_CTX.to_limbs_np(scalars_int))
 
 base = hc.g1_scalar_mul(hc.G1_GEN_PT, 69)
-g1x = jnp.broadcast_to(jnp.asarray(FQ_OPS.to_mont_np([base[0]]))[0], (n, 16))
-g1y = jnp.broadcast_to(jnp.asarray(FQ_OPS.to_mont_np([base[1]]))[0], (n, 16))
+g1x = jnp.broadcast_to(jnp.asarray(FQ_OPS.to_mont_np([base[0]]))[0], (n, LL))
+g1y = jnp.broadcast_to(jnp.asarray(FQ_OPS.to_mont_np([base[1]]))[0], (n, LL))
 p1 = jac.from_affine(FQ_OPS, g1x, g1y)
 
 b2 = hc.g2_scalar_mul(hc.G2_GEN, 96)
 g2x = jnp.broadcast_to(jnp.asarray(FQ2_OPS.to_mont_np([list(b2[0])]))[0],
-                       (n, 2, 16))
+                       (n, 2, LL))
 g2y = jnp.broadcast_to(jnp.asarray(FQ2_OPS.to_mont_np([list(b2[1])]))[0],
-                       (n, 2, 16))
+                       (n, 2, LL))
 p2 = jac.from_affine(FQ2_OPS, g2x, g2y)
 
 # --- field multiply throughput ------------------------------------------
@@ -83,12 +85,16 @@ except Exception as e:
     print(f"[prof] pallas unavailable: {e!r}", flush=True)
 
 # --- point ops -----------------------------------------------------------
+add1x = jax.jit(lambda p, q: jac._add_xla(FQ_OPS, p, q))
+t = bench(f"jac.add G1 xla ({n} lanes)", add1x, p1, p1)
 add1 = jax.jit(lambda p, q: jac.add(FQ_OPS, p, q))
-t = bench(f"jac.add G1 ({n} lanes)", add1, p1, p1)
+t = bench(f"jac.add G1 auto ({n} lanes)", add1, p1, p1)
 if t:
     print(f"[prof]   -> {n/t/1e6:.1f} Madd/s", flush=True)
 add2 = jax.jit(lambda p, q: jac.add(FQ2_OPS, p, q))
-t = bench(f"jac.add G2 ({n} lanes)", add2, p2, p2)
+t = bench(f"jac.add G2 auto ({n} lanes)", add2, p2, p2)
+dbl1 = jax.jit(lambda p: jac.double(FQ_OPS, p))
+bench(f"jac.double G1 auto ({n} lanes)", dbl1, p1)
 
 # --- MSM building blocks -------------------------------------------------
 for wb in (8,):

@@ -28,26 +28,28 @@ LOG_N = int(os.environ.get("LOG_N", "16"))
 GROUP = os.environ.get("GROUP", "g2")
 WB = int(os.environ.get("WB", "8"))
 n = 1 << LOG_N
+from zksnark_tpu.field import params as _fp
+LL = _fp.NUM_LIMBS
 print(f"[repro] devices={jax.devices()} n={n} group={GROUP} wb={WB}",
       flush=True)
 
 rng = np.random.default_rng(0)
 scalars_int = [int(rng.integers(1, 1 << 62)) for _ in range(n)]
-scalars = jnp.asarray(FR_CTX.to_limbs_np(scalars_int).astype(np.uint32))
+scalars = jnp.asarray(FR_CTX.to_limbs_np(scalars_int))
 
 if GROUP == "g2":
     ops = FQ2_OPS
     base = hc.g2_scalar_mul(hc.G2_GEN, 96)
     # replicate ONE point n times (correctness doesn't matter for the repro)
     x = jnp.broadcast_to(jnp.asarray(ops.to_mont_np([list(base[0])]))[0],
-                         (n, 2, 16))
+                         (n, 2, LL))
     y = jnp.broadcast_to(jnp.asarray(ops.to_mont_np([list(base[1])]))[0],
-                         (n, 2, 16))
+                         (n, 2, LL))
 else:
     ops = FQ_OPS
     base = hc.g1_scalar_mul(hc.G1_GEN_PT, 69)
-    x = jnp.broadcast_to(jnp.asarray(ops.to_mont_np([base[0]]))[0], (n, 16))
-    y = jnp.broadcast_to(jnp.asarray(ops.to_mont_np([base[1]]))[0], (n, 16))
+    x = jnp.broadcast_to(jnp.asarray(ops.to_mont_np([base[0]]))[0], (n, LL))
+    y = jnp.broadcast_to(jnp.asarray(ops.to_mont_np([base[1]]))[0], (n, LL))
 pts = jac.from_affine(ops, x, y)
 
 t0 = time.time()

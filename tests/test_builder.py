@@ -262,3 +262,23 @@ def test_instance_wire_order():
     r = inst.r1cs()
     assert r.input == 3
     assert r.num_wires == len(inst.ordered_wires)
+
+
+def test_builder_qap_random_proof_soundness():
+    """Random proofs against a *builder-derived* QAP verify at ~1/251 —
+    the statistical soundness bound the reference only ever ran on the
+    DSL path (/root/reference/src/groth16/mod.rs:428-470); running it
+    here also guards the CircuitInstance row alignment (a misaligned
+    conversion degenerates to always-accept, ratio ~1.0)."""
+    inst = _or_instance()
+    qap = from_r1cs(Z251, inst.r1cs())
+    rng = random.Random(11)
+    total, count = 4000, 0
+    for _ in range(total):
+        crs = protocol.setup(BE, qap, rng=rng)
+        proof = protocol.Proof(
+            a=BE.random_g1(rng), b=BE.random_g2(rng), c=BE.random_g1(rng))
+        if protocol.verify(BE, crs, [0, 0, 1], proof):
+            count += 1
+    ratio = count / total
+    assert 0.001 < ratio < 0.010, ratio

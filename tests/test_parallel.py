@@ -32,9 +32,13 @@ N_DEV = 4  # use 4 of the 8 virtual devices (divides all test sizes)
 # cheap and always on.
 import os  # noqa: E402
 
+# Sharded tests run by default with wb=4 (16 buckets) to keep the
+# shard_map graphs small enough for a cold 2-CPU host; ZK_SLOW_TESTS=1
+# additionally runs the wb=8 variants (run at least once per repo
+# lifetime to validate + warm the cache).
 slow = pytest.mark.skipif(
     os.environ.get("ZK_SLOW_TESTS") != "1",
-    reason="set ZK_SLOW_TESTS=1 for the shard_map compile-heavy tests")
+    reason="set ZK_SLOW_TESTS=1 for the compile-heavy wide-window variants")
 
 
 @pytest.fixture(scope="module")
@@ -44,7 +48,6 @@ def mesh():
     return make_mesh(N_DEV)
 
 
-@slow
 def test_msm_sharded_matches_single(mesh):
     n = 32
     ks = [rng.randrange(1, R) for _ in range(n)]
@@ -56,6 +59,24 @@ def test_msm_sharded_matches_single(mesh):
     scalars = [rng.randrange(R) for _ in range(n)]
     slimbs = jnp.asarray(FR_CTX.to_limbs_np(scalars))
 
+    single = jac.to_affine_np(
+        FQ_OPS, msmod._msm_windowed(FQ_OPS, P, slimbs, 4))
+    sharded = jac.to_affine_np(
+        FQ_OPS, msm_sharded(FQ_OPS, mesh, P, slimbs, window_bits=4))
+    assert sharded == single
+
+
+@slow
+def test_msm_sharded_matches_single_wb8(mesh):
+    n = 32
+    ks = [rng.randrange(1, R) for _ in range(n)]
+    pts_host = [hc.g1_scalar_mul(hc.G1_GEN_PT, k) for k in ks]
+    P = jac.from_affine(
+        FQ_OPS,
+        jnp.asarray(FQ_OPS.to_mont_np([p[0] for p in pts_host])),
+        jnp.asarray(FQ_OPS.to_mont_np([p[1] for p in pts_host])))
+    scalars = [rng.randrange(R) for _ in range(n)]
+    slimbs = jnp.asarray(FR_CTX.to_limbs_np(scalars))
     single = jac.to_affine_np(
         FQ_OPS, msmod._msm_windowed(FQ_OPS, P, slimbs, 8))
     sharded = jac.to_affine_np(
@@ -88,7 +109,6 @@ def test_intt_sharded_roundtrip(mesh):
     assert list(got) == coeffs
 
 
-@slow
 def test_sharded_prove_step_matches_single(mesh):
     from zksnark_tpu.frontend.r1cs import R1CS
     from zksnark_tpu.groth16 import prover
@@ -120,9 +140,9 @@ def test_sharded_prove_step_matches_single(mesh):
     weights_mont = jnp.asarray(FR_CTX.to_mont_np(wit))
     crs_arrays = (dcrs.xi_g1, dcrs.xi_t_g1, dcrs.sum_delta_g1, dcrs.xi_g2)
 
-    single = prover._prove_core(dqap.domain, dqap.input, 8, ell_arrays,
+    single = prover._prove_core(dqap.domain, dqap.input, 4, ell_arrays,
                                 crs_arrays, weights_mont)
-    sharded = sharded_prove_step(mesh, dqap.domain, dqap.input, 8,
+    sharded = sharded_prove_step(mesh, dqap.domain, dqap.input, 4,
                                  ell_arrays, crs_arrays, weights_mont)
 
     for s_pt, m_pt, ops in zip(

@@ -6,7 +6,7 @@ the twist — one implementation, both groups (the reference needed two copies
 of everything through the ``bn`` crate's separate G1/G2 types).
 
 Element layout:
-    Fq:  (..., L)      uint32 Montgomery limbs
+    Fq:  (..., L)      f32 8-bit-digit Montgomery vectors
     Fq2: (..., 2, L)   c0 = [..., 0, :], c1 = [..., 1, :]
 """
 
@@ -16,7 +16,7 @@ import jax.numpy as jnp
 
 from ..field import params
 from ..field.limb import (
-    FQ_CTX, MontCtx, add as l_add, eq as l_eq, is_zero as l_is_zero,
+    DT, FQ_CTX, MontCtx, add as l_add, eq as l_eq, is_zero as l_is_zero,
     mont_mul, neg as l_neg, sub as l_sub,
 )
 
@@ -52,7 +52,7 @@ class FqOps:
         return l_eq(a, b)
 
     def zero(self, shape=()):
-        return jnp.zeros(shape + (params.NUM_LIMBS,), dtype=jnp.uint32)
+        return jnp.zeros(shape + (params.NUM_LIMBS,), dtype=DT)
 
     def one(self, shape=()):
         return jnp.broadcast_to(
@@ -125,10 +125,10 @@ class Fq2Ops:
         return jnp.all(a == b, axis=(-1, -2))
 
     def zero(self, shape=()):
-        return jnp.zeros(shape + (2, params.NUM_LIMBS), dtype=jnp.uint32)
+        return jnp.zeros(shape + (2, params.NUM_LIMBS), dtype=DT)
 
     def one(self, shape=()):
-        z = jnp.zeros(shape + (2, params.NUM_LIMBS), dtype=jnp.uint32)
+        z = jnp.zeros(shape + (2, params.NUM_LIMBS), dtype=DT)
         return z.at[..., 0, :].set(self.ctx.r_limbs)
 
     def bmask(self, mask):

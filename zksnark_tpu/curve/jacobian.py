@@ -49,8 +49,26 @@ def neg(ops, p: JPoint) -> JPoint:
     return JPoint(p.x, ops.neg(p.y), p.z)
 
 
+def _batch_size(p: JPoint, elem_ndim: int) -> int:
+    n = 1
+    for s in p.z.shape[:p.z.ndim - elem_ndim]:
+        n *= s
+    return n
+
+
+_PALLAS_MIN = 256  # below this, wrapper/pad overhead beats the fused kernel
+
+
 def double(ops, p: JPoint) -> JPoint:
     """dbl-2009-l; infinity (Z=0) propagates automatically (Z3 = 2YZ = 0)."""
+    from ..ops import curve_pallas as cp
+
+    if _batch_size(p, ops.elem_ndim) >= _PALLAS_MIN and cp.enabled():
+        return cp.jac_double(ops, p)
+    return _double_xla(ops, p)
+
+
+def _double_xla(ops, p: JPoint) -> JPoint:
     a = ops.sqr(p.x)
     b = ops.sqr(p.y)
     c = ops.sqr(b)
@@ -66,7 +84,20 @@ def double(ops, p: JPoint) -> JPoint:
 
 
 def add(ops, p: JPoint, q: JPoint) -> JPoint:
-    """Complete addition: handles P=inf, Q=inf, P=Q, P=-Q via masks."""
+    """Complete addition: handles P=inf, Q=inf, P=Q, P=-Q via masks.
+
+    Dispatches to the fused Pallas kernel (ops/curve_pallas.py) for big
+    batches on TPU backends; the XLA path below is the oracle and the
+    CPU-mesh fallback."""
+    from ..ops import curve_pallas as cp
+
+    if (_batch_size(p, ops.elem_ndim) >= _PALLAS_MIN
+            and p.z.shape == q.z.shape and cp.enabled()):
+        return cp.jac_add(ops, p, q)
+    return _add_xla(ops, p, q)
+
+
+def _add_xla(ops, p: JPoint, q: JPoint) -> JPoint:
     z1z1 = ops.sqr(p.z)
     z2z2 = ops.sqr(q.z)
     u1 = ops.mul(p.x, z2z2)

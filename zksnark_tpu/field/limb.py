@@ -1,34 +1,31 @@
-"""Vectorized Montgomery arithmetic over fixed 16x16-bit limbs (JAX).
+"""Vectorized Montgomery arithmetic over fixed 32x8-bit digits in float32.
 
 This is the device-tier replacement for the reference's external bigint
 arithmetic (the ``bn``/``bigint`` crates, /root/reference/Cargo.toml:12-17),
-re-designed for TPU semantics instead of translated:
+re-designed for TPU hardware rather than translated:
 
-- **Layout**: a field element is a little-endian vector of 16 limbs of 16
-  bits held in uint32 lanes, shape ``(..., 16)``.  Any leading batch shape
-  vectorizes over the VPU.
-- **Why 16-bit limbs**: TPUs have no native 64-bit integer ALU.  With b-bit
-  limbs a schoolbook partial product needs 2b bits; b=16 keeps every
-  ``a_i * b_j`` exact in uint32, and diagonal sums of 16 split-off 16-bit
-  halves stay < 2^21 — no accumulation step can overflow.
+- **Why float32**: the TPU VPU has no native 32-bit integer multiplier —
+  integer multiplies are emulated and measured ~100-1000x off the f32 rate
+  on real hardware.  f32 arithmetic is EXACT on integers below 2^24, so
+  8-bit digits give exact products (a_i*b_j <= 255^2 < 2^16) and exact
+  32-term accumulations (< 2^21).  Every digit op runs at full VPU rate.
+- **Layout**: a field element is a little-endian vector of 32 digits of 8
+  bits held in f32 lanes, shape ``(..., 32)``.  Any leading batch shape
+  vectorizes over the VPU; `ops/montmul.py` provides the lane-major Pallas
+  kernel of the same pipeline for the hot paths.
 - **Convolution by skewing**: the schoolbook product is ONE outer product
-  (batch, L, L) plus the pad/reshape "skew" trick that aligns row i at
-  offset i, then a single sum over rows — a handful of XLA ops instead of
-  2L shift-adds (compile time on a 2-core host made this matter as much as
-  runtime).
-- **SWAR packed carries**: after one fold, every limb is < 2^17 - 1, so
-  generate (limb >= 2^16) and propagate (low half == 0xFFFF) are mutually
-  exclusive per limb.  Packing the g/p bits of all limbs into ONE uint32
-  lane lets a single integer add ripple every carry chain at once:
-  ``c = (((G << 1) + P) ^ P)`` has bit i set iff a carry enters limb i.
-  This replaces a log2(L)-round Kogge-Stone network — fewer ops at runtime
-  and an ~4x smaller XLA graph (compile time on the 2-core host and via the
-  remote TPU tunnel scales with graph size, so this matters doubly).
+  (batch, 32, 32) plus the pad/reshape "skew" trick that aligns row i at
+  offset i, then a single sum over rows — a handful of XLA ops, all f32.
+- **Carry resolution**: two fold passes (split each digit with an exact
+  floor-multiply by 2^-8) bring every digit below 320, after which
+  generate (d >= 256) and propagate (d == 255) are mutually exclusive per
+  digit.  The g/p bits of all digits are packed into u32 words (via exact
+  f32 dot products with power-of-two weights) and ONE integer add ripples
+  every carry chain at once: ``c = ((G << 1) + P) ^ P`` has bit i set iff
+  a carry enters digit i.  Only cheap integer add/shift/xor ops touch the
+  u32 domain — never an integer multiply.
 - **Montgomery (separated SOS)**: t = a*b;  m = t_lo * (-p^-1 mod R) mod R;
   result = (t + m*p) / R, one conditional subtract (result < 2p).
-
-The same code path runs under jit on TPU and CPU; `ops/montmul.py` provides
-the Pallas-kernel version of the hot loop with identical semantics.
 
 Every function takes a `MontCtx` (per-modulus constants) so Fr and Fq share
 one implementation.
@@ -44,11 +41,13 @@ import jax.numpy as jnp
 import numpy as np
 
 from . import params
-from .params import LIMB_BITS, LIMB_MASK, NUM_LIMBS
+from .params import LIMB_BITS, NUM_LIMBS
 
-L = NUM_LIMBS
-MASK = jnp.uint32(LIMB_MASK)
-_MONT_R = 1 << (LIMB_BITS * L)
+L = NUM_LIMBS            # 32 digits
+BASE = float(1 << LIMB_BITS)       # 256.0
+INV_BASE = 1.0 / BASE
+DT = jnp.float32
+_MONT_R = 1 << (LIMB_BITS * L)     # 2^256
 
 
 class MontCtx:
@@ -57,51 +56,55 @@ class MontCtx:
     def __init__(self, p: int, name: str = "p"):
         self.p = p
         self.name = name
-        r_mod, r2_mod, n0inv = params.mont_constants(p)
+        r_mod, r2_mod, _ = params.mont_constants(p)
         self.r_int = r_mod
         self.r2_int = r2_mod
         self.nprime_int = (-pow(p, -1, _MONT_R)) % _MONT_R  # -p^-1 mod R
-        self.p_np = np.array(params.to_limbs(p), dtype=np.uint32)
+        self.p_np = np.array(params.to_limbs(p), dtype=np.float32)
         self.p_limbs = jnp.asarray(self.p_np)
         self.r_limbs = jnp.asarray(
-            np.array(params.to_limbs(r_mod), dtype=np.uint32))
+            np.array(params.to_limbs(r_mod), dtype=np.float32))
         self.r2_limbs = jnp.asarray(
-            np.array(params.to_limbs(r2_mod), dtype=np.uint32))
+            np.array(params.to_limbs(r2_mod), dtype=np.float32))
         self.nprime_limbs = jnp.asarray(
-            np.array(params.to_limbs(self.nprime_int), dtype=np.uint32))
+            np.array(params.to_limbs(self.nprime_int), dtype=np.float32))
+        # digits of 2^256 - p (for the conditional subtract / borrow test)
+        self.pcomp_limbs = jnp.asarray(np.array(
+            params.to_limbs((_MONT_R - p) % _MONT_R), dtype=np.float32))
         # exponent bits of p-2 (MSB first), for Fermat inversion
         self.p_minus_2_bits = jnp.asarray(
             np.array([int(b) for b in bin(p - 2)[2:]], dtype=np.uint32))
 
     # -- host-side codecs ---------------------------------------------------
     def to_limbs_np(self, xs) -> np.ndarray:
-        """ints (any nested list/array of python ints) -> (..., L) uint32."""
+        """ints (any nested list/array of python ints) -> (..., L) f32."""
         arr = np.asarray(xs, dtype=object)
         buf = b"".join(
-            (int(x) % self.p).to_bytes(2 * L, "little")
+            (int(x) % self.p).to_bytes(L, "little")
             for x in arr.reshape(-1))
-        out = np.frombuffer(buf, dtype="<u2").astype(np.uint32)
+        out = np.frombuffer(buf, dtype=np.uint8).astype(np.float32)
         return out.reshape(arr.shape + (L,))
 
     def from_limbs_np(self, arr) -> np.ndarray:
-        """(..., L) uint32 -> object ndarray of python ints."""
-        a = np.ascontiguousarray(np.asarray(arr), dtype=np.uint32)
-        flat16 = a.reshape(-1, L).astype("<u2")
+        """(..., L) digit array -> object ndarray of python ints."""
+        a = np.asarray(arr)
+        bytes8 = np.rint(a).astype(np.int64).astype(np.uint8)
+        flat = bytes8.reshape(-1, L)
         out = np.empty(a.shape[:-1], dtype=object)
         oflat = out.reshape(-1)
-        raw = flat16.tobytes()
+        raw = flat.tobytes()
         for i in range(oflat.shape[0]):
-            oflat[i] = int.from_bytes(raw[2 * L * i:2 * L * (i + 1)], "little")
+            oflat[i] = int.from_bytes(raw[L * i:L * (i + 1)], "little")
         return out
 
     def to_mont_np(self, xs) -> np.ndarray:
-        """ints -> Montgomery-form limb array (host conversion)."""
+        """ints -> Montgomery-form digit array (host conversion)."""
         arr = np.asarray(xs, dtype=object)
         mont = [(int(x) << (LIMB_BITS * L)) % self.p for x in arr.reshape(-1)]
         return self.to_limbs_np(mont).reshape(arr.shape + (L,))
 
     def from_mont_np(self, arr) -> np.ndarray:
-        """Montgomery-form limb array -> object ndarray of python ints."""
+        """Montgomery-form digit array -> object ndarray of python ints."""
         vals = self.from_limbs_np(arr)
         r_inv = pow(_MONT_R, -1, self.p)
         flat = vals.reshape(-1)
@@ -110,68 +113,92 @@ class MontCtx:
         return vals
 
     def zero(self, shape=()) -> jnp.ndarray:
-        return jnp.zeros(shape + (L,), dtype=jnp.uint32)
+        return jnp.zeros(shape + (L,), dtype=DT)
 
     def one_mont(self, shape=()) -> jnp.ndarray:
         return jnp.broadcast_to(self.r_limbs, shape + (L,))
 
 
 # ---------------------------------------------------------------------------
-# carry machinery (SWAR packed carries)
+# carry machinery: exact f32 folds + packed-u32 carry ripple
 # ---------------------------------------------------------------------------
 
-_BIT_W = jnp.asarray(
-    (np.uint64(1) << np.arange(32, dtype=np.uint64)).astype(np.uint32)
-)  # 2^i weights for bit packing (2^i mod 2^32)
-_BIT_I = jnp.asarray(np.arange(32, dtype=np.uint32))
+def _split(v: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Exact (lo, hi) split of integer-valued f32 digits: v = lo + 256*hi."""
+    hi = jnp.floor(v * INV_BASE)
+    return v - hi * BASE, hi
+
+
+def _fold(t: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """One carry-fold pass; returns (digits, carry_out_of_top_digit)."""
+    lo, hi = _split(t)
+    v = lo.at[..., 1:].add(hi[..., :-1])
+    return v, hi[..., -1]
+
+
+# power-of-two weights for packing 16 g/p bits into one exact f32 value
+_W16 = jnp.asarray((1 << np.arange(16)).astype(np.float32))
+
+
+def _pack16(bits_f: jnp.ndarray, k0: int, k: int) -> jnp.ndarray:
+    """Pack f32 0/1 bits [k0, min(k0+16, k)) into an i32 word (exact)."""
+    hi = min(k0 + 16, k)
+    w = _W16[:hi - k0]
+    return jnp.sum(bits_f[..., k0:hi] * w, axis=-1).astype(jnp.int32)
+
+
+def _carry_resolve(v: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Resolve single-bit carry chains on digits v <= 510 (g/p exclusive).
+
+    Returns (canonical digits, carry_out).  The only integer ops are
+    adds/shifts/xors on one packed u32 word per 32 digits."""
+    k = v.shape[-1]
+    g = (v >= BASE).astype(DT)            # generate
+    p_ = (v == BASE - 1).astype(DT)       # propagate (exclusive with g)
+    n_words = -(-k // 32)
+    carry_bits = []
+    cin_word = jnp.zeros(v.shape[:-1], jnp.uint32)  # carry into word's bit 0
+    for w in range(n_words):
+        k0 = w * 32
+        gw = (_pack16(g, k0, k).astype(jnp.uint32)
+              | (_pack16(g, k0 + 16, k).astype(jnp.uint32) << 16))
+        pw = (_pack16(p_, k0, k).astype(jnp.uint32)
+              | (_pack16(p_, k0 + 16, k).astype(jnp.uint32) << 16))
+        x = (gw << 1) + cin_word
+        s = x + pw
+        c = s ^ pw                         # bit i: carry into digit k0+i
+        carry_bits.append(c)
+        # carry into the next word's digit 0: true bit 32 of (g<<1)+p+cin
+        addc = (s < x).astype(jnp.uint32)
+        cin_word = (gw >> 31) + addc
+    # unpack carry-in bits back to f32 digits (one vector shift per word)
+    shifts = jnp.arange(32, dtype=jnp.uint32)
+    cin = jnp.concatenate(
+        [((w[..., None] >> shifts) & 1).astype(DT) for w in carry_bits],
+        axis=-1)[..., :k]
+    out = v - g * BASE + cin - (p_ * cin) * BASE
+    return out, cin_word.astype(DT)
 
 
 def _normalize(t: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Reduce limbs with up to 32-bit values to canonical 16-bit limbs.
-
-    One fold brings the slack to single-bit carries (every limb <= 0x1FFFE,
-    so generate and propagate are exclusive); the remaining carry chains are
-    resolved by packing the per-limb generate/propagate bits into one uint32
-    and letting a single integer add ripple them: with G = packed generates,
-    P = packed propagates, ``c = ((G << 1) + P) ^ P`` has bit i set iff a
-    carry enters limb i.  Returns (limbs, carry_out); requires k <= 32 and
-    no carry out of limb 31 when k == 32 (true for all call sites: products
-    are < 2^508).
-    """
-    k = t.shape[-1]
-    # fold multi-bit carries one position up
-    lo = t & MASK
-    hi = t >> LIMB_BITS
-    v = lo.at[..., 1:].add(hi[..., :-1])
-    carry0 = hi[..., -1]  # carry out of the top limb from the fold
-    # now v <= 0xFFFF + 0xFFFF = 0x1FFFE: single-bit, g/p exclusive
-    g = (v >> LIMB_BITS).astype(jnp.uint32)           # generate (0/1)
-    p_ = ((v & MASK) == MASK).astype(jnp.uint32)      # propagate (0/1)
-    w = _BIT_W[:k]
-    gp = jnp.sum(g * w, axis=-1, dtype=jnp.uint32)    # packed G
-    pp = jnp.sum(p_ * w, axis=-1, dtype=jnp.uint32)   # packed P
-    c = ((gp << 1) + pp) ^ pp                         # bit i: carry into i
-    carry_in = (c[..., None] >> _BIT_I[:k]) & jnp.uint32(1)
-    out = (v + carry_in) & MASK
-    if k < 32:
-        carry_out = carry0 + ((c >> k) & jnp.uint32(1))
-    else:
-        carry_out = carry0  # no carry out of limb 31 at any call site
-    return out, carry_out
+    """Digits <= ~2^22 -> canonical 8-bit digits + carry_out."""
+    v, c0 = _fold(t)
+    v, c1 = _fold(v)   # now every digit <= 319: single-bit carry regime
+    out, c2 = _carry_resolve(v)
+    return out, c0 + c1 + c2
 
 
 def _sub_with_borrow(a: jnp.ndarray, b: jnp.ndarray):
-    """(a - b) on canonical 16-bit limb vectors; returns (diff, borrow)."""
-    k = a.shape[-1]
-    v = a + (MASK - b)  # a + ~b, limbs <= 2*mask < 2^17
-    v = v.at[..., 0].add(1)  # +1 completes two's complement
+    """(a - b) on canonical digit vectors; returns (diff, borrow)."""
+    v = a + ((BASE - 1.0) - b)   # a + ~b, digits <= 510
+    v = v.at[..., 0].add(1.0)    # +1 completes two's complement
     out, carry = _normalize(v)
-    borrow = jnp.uint32(1) - carry  # carry out <=> a >= b
+    borrow = 1.0 - carry         # carry out <=> a >= b
     return out, borrow
 
 
 def _cond_sub_p(ctx: MontCtx, a: jnp.ndarray) -> jnp.ndarray:
-    """a - p if a >= p else a (canonical 16-limb input, a < 2p)."""
+    """a - p if a >= p else a (canonical digits, a < 2p)."""
     diff, borrow = _sub_with_borrow(a, jnp.broadcast_to(ctx.p_limbs, a.shape))
     return jnp.where((borrow != 0)[..., None], a, diff)
 
@@ -191,26 +218,23 @@ def _skew_sum(m: jnp.ndarray, width: int) -> jnp.ndarray:
     flat = padded.reshape(padded.shape[:-2] + (L * (2 * L + 1),))
     flat = flat[..., :L * 2 * L]
     skewed = flat.reshape(flat.shape[:-1] + (L, 2 * L))
-    out = jnp.sum(skewed, axis=-2, dtype=jnp.uint32)
+    out = jnp.sum(skewed, axis=-2)
     return out[..., :width]
 
 
 def _conv(a: jnp.ndarray, b: jnp.ndarray, width: int = 2 * L) -> jnp.ndarray:
-    """Schoolbook product digits: out[k] = sum_{i+j=k} a_i b_j, accumulated
-    as split 16-bit halves so every lane stays < 2^21.  Output is an
-    UN-normalized digit vector of length `width`."""
-    prod = a[..., :, None] * b[..., None, :]  # (..., L, L) exact uint32
-    lo = _skew_sum(prod & MASK, width)
-    hi = _skew_sum(prod >> LIMB_BITS, width)
-    return lo.at[..., 1:].add(hi[..., :-1])
+    """Schoolbook product digits: out[k] = sum_{i+j=k} a_i b_j — all f32,
+    exact (products < 2^16, row sums < 2^21).  UN-normalized, `width`."""
+    prod = a[..., :, None] * b[..., None, :]  # (..., L, L) exact f32
+    return _skew_sum(prod, width)
 
 
 # ---------------------------------------------------------------------------
-# field ops (all shapes (..., L) uint32; broadcast across leading dims)
+# field ops (all shapes (..., L) f32 digits; broadcast across leading dims)
 # ---------------------------------------------------------------------------
 
 def add(ctx: MontCtx, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-    s, _ = _normalize(a + b)  # sum < 2p < 2^256: carry out is 0
+    s, _ = _carry_resolve(a + b)  # digits <= 510; sum < 2p: no carry out
     return _cond_sub_p(ctx, s)
 
 
@@ -241,7 +265,7 @@ def mont_mul(ctx: MontCtx, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     m, _ = _normalize(m)                  # mod R: carry out discarded
     u = _conv(m, ctx.p_limbs)             # 2L digits, < 2^21
     s, _ = _normalize(t + u)              # ab + mp < 2^511: no carry out
-    # low L limbs of s are exactly zero; the quotient is the high half
+    # low L digits of s are exactly zero; the quotient is the high half
     return _cond_sub_p(ctx, s[..., L:])
 
 
@@ -254,7 +278,7 @@ def to_mont(ctx: MontCtx, a: jnp.ndarray) -> jnp.ndarray:
 
 
 def from_mont(ctx: MontCtx, a: jnp.ndarray) -> jnp.ndarray:
-    one = jnp.zeros_like(a).at[..., 0].set(1)
+    one = jnp.zeros_like(a).at[..., 0].set(1.0)
     return mont_mul(ctx, a, one)
 
 

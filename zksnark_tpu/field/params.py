@@ -61,13 +61,14 @@ G2_GEN_Y = (
 )
 
 # ---------------------------------------------------------------------------
-# Limb layout shared by the vectorized (device) arithmetic: 16 limbs x 16 bits
-# stored in uint32 lanes.  16-bit limbs keep every partial product exact in
-# uint32 (a_i * b_j < 2^32) so schoolbook/Montgomery accumulation never needs
-# 64-bit scalars, which TPUs lack natively.
+# Limb layout shared by the vectorized (device) arithmetic: 32 digits x 8
+# bits stored in float32 lanes.  The TPU VPU has no native 32-bit integer
+# multiplier, but f32 arithmetic is exact on integers < 2^24 — 8-bit digits
+# keep every partial product (< 2^16) and every 32-term accumulation
+# (< 2^21) exact while running at the full f32 vector rate.
 # ---------------------------------------------------------------------------
-LIMB_BITS = 16
-NUM_LIMBS = 16
+LIMB_BITS = 8
+NUM_LIMBS = 32
 LIMB_MASK = (1 << LIMB_BITS) - 1
 MONT_R = 1 << (LIMB_BITS * NUM_LIMBS)  # 2^256
 
@@ -81,7 +82,8 @@ def mont_constants(p: int):
 
 
 def to_limbs(x: int, n: int = NUM_LIMBS):
-    """Little-endian LIMB_BITS-bit limb decomposition of a non-negative int."""
+    """Little-endian LIMB_BITS-bit digit decomposition of a non-negative
+    int."""
     return [(x >> (LIMB_BITS * i)) & LIMB_MASK for i in range(n)]
 
 

@@ -39,7 +39,9 @@ from ..curve import jacobian as jac
 from ..curve.field_ops import FQ2_OPS, FQ_OPS
 from ..curve.jacobian import JPoint
 from ..field import params
-from ..field.limb import FR_CTX, add as l_add, from_mont, mont_mul
+from ..field.limb import (
+    DT as l_DT, FR_CTX, add as l_add, from_mont, mont_mul,
+)
 from ..frontend.r1cs import R1CS
 from ..ops import msm as msmod
 from ..ops import ntt as nttmod
@@ -59,7 +61,7 @@ class EllMatrix:
     value 0."""
 
     idx: jnp.ndarray   # (n, k) int32 wire indices
-    val: jnp.ndarray   # (n, k, L) uint32 Montgomery Fr values
+    val: jnp.ndarray   # (n, k, L) f32 digit Montgomery Fr values
 
 
 @dataclass
@@ -195,11 +197,9 @@ def _comb_table(ops, base_affine) -> JPoint:
 
 
 def _digits8(scalars_std: jnp.ndarray) -> jnp.ndarray:
-    """(m, L) standard-form 16-bit limbs -> (m, 2L) interleaved 8-bit comb
-    digits [lo0, hi0, lo1, hi1, ...]."""
-    lo = (scalars_std & jnp.uint32(0xFF)).astype(jnp.int32)
-    hi = (scalars_std >> 8).astype(jnp.int32)
-    return jnp.stack([lo, hi], axis=-1).reshape(scalars_std.shape[0], 2 * L)
+    """(m, L) standard-form 8-bit digit scalars -> (m, L) int32 comb
+    digits (with 8-bit digits the comb windows ARE the digits)."""
+    return scalars_std.astype(jnp.int32)
 
 
 @partial(jax.jit, static_argnums=0)
@@ -233,7 +233,7 @@ def _fixed_base_encrypt(ops, base_affine, scalars_std: jnp.ndarray,
     m = max(n, pad_to)
     if m != n:
         scalars_std = jnp.concatenate(
-            [scalars_std, jnp.zeros((m - n, L), jnp.uint32)])
+            [scalars_std, jnp.zeros((m - n, L), l_DT)])
     table = _comb_table(ops, base_affine)
     out = _comb_encrypt(ops, table, scalars_std)
     if m != n:
@@ -421,7 +421,7 @@ def _pad_msm(ops, pts: JPoint, scalars: jnp.ndarray, n: int):
     if scalars.shape[0] < n:
         scalars = jnp.concatenate(
             [scalars,
-             jnp.zeros((n - scalars.shape[0], L), dtype=jnp.uint32)])
+             jnp.zeros((n - scalars.shape[0], L), dtype=l_DT)])
     return pts, scalars
 
 
@@ -436,13 +436,15 @@ def _prove_core(domain, n_input: int, window_bits: int, ell_arrays,
         domain, n_input, ell_arrays, weights_mont)
 
     wb = window_bits
-    a_g1 = msmod._msm_windowed(FQ_OPS, xi_g1, u_std, wb)
-    b_g1 = msmod._msm_windowed(FQ_OPS, xi_g1, v_std, wb)
+    wg1 = msmod.pick_win_group(FQ_OPS, n)
+    wg2 = msmod.pick_win_group(FQ2_OPS, n)
+    a_g1 = msmod._msm_windowed(FQ_OPS, xi_g1, u_std, wb, wg1)
+    b_g1 = msmod._msm_windowed(FQ_OPS, xi_g1, v_std, wb, wg1)
     hp, hs = _pad_msm(FQ_OPS, xi_t_g1, h_std[:n - 1], n)
-    h_xt = msmod._msm_windowed(FQ_OPS, hp, hs, wb)
+    h_xt = msmod._msm_windowed(FQ_OPS, hp, hs, wb, wg1)
     dp, ds = _pad_msm(FQ_OPS, sum_delta_g1, wit_std, n)
-    c_delta = msmod._msm_windowed(FQ_OPS, dp, ds, wb)
-    b_g2 = msmod._msm_windowed(FQ2_OPS, xi_g2, v_std, wb)
+    c_delta = msmod._msm_windowed(FQ_OPS, dp, ds, wb, wg1)
+    b_g2 = msmod._msm_windowed(FQ2_OPS, xi_g2, v_std, wb, wg2)
 
     return a_g1, b_g1, b_g2, h_xt, c_delta
 

@@ -1,21 +1,25 @@
-"""Pallas TPU kernel for batched Montgomery multiplication.
+"""Pallas TPU kernel for batched Montgomery multiplication (f32 digits).
 
-The XLA path (`field.limb.mont_mul`) expresses one 254-bit multiply as ~150
-HLO ops; under big fan-out (NTT stages, MSM point adds) that costs both
-compile time and HBM round-trips between fused segments.  This kernel runs
-the whole separated-SOS Montgomery pipeline in VMEM on a *lane-major*
-layout:
+The XLA path (`field.limb.mont_mul`) expresses one 254-bit multiply as a
+few hundred HLO ops on (..., 32)-shaped arrays; under big fan-out (NTT
+stages, MSM point adds) that costs compile time and leaves the minor
+dimension at 32 of 128 lanes.  This kernel runs the whole separated-SOS
+Montgomery pipeline in VMEM on a *lane-major* layout:
 
-    limbs on the sublane axis, batch on the 128-wide lane axis —
-    a_ref[i, :] is limb i of a whole tile of elements.
+    digits on the sublane axis, batch on the 128-wide lane axis —
+    a_ref[i, :] is digit i of a whole tile of elements.
 
-All partial products are exact in uint32 (16-bit limbs), every accumulator
-stays < 2^22, carries ripple once over 2L+1 sublane rows (sequential but
-tiny — the batch axis is the vector axis).
+Everything is float32: 8-bit digits make every partial product (< 2^16)
+and every 32-term accumulation (< 2^21) exact, and f32 multiplies run at
+the full VPU rate (the TPU has no native 32-bit integer multiplier).
+Carries ripple once over the digit rows with exact floor-splits —
+sequential but tiny, since the batch axis is the vector axis.
 
 API: `mont_mul_pallas(ctx, a, b)` — drop-in for `limb.mont_mul` on 2-D
-inputs (N, L); used by the kernel-backed NTT/MSM variants and benchmarked
-against the XLA path in bench.py.  Falls back to interpret mode off-TPU.
+inputs (N, L).  interpret=True runs the kernel body on plain arrays via
+_EmuRef (the CPU test harness detaches the TPU platform, which breaks
+pallas interpret mode itself — so the pallas_call below always runs
+compiled, never interpreted).
 """
 
 from __future__ import annotations
@@ -28,71 +32,59 @@ import jax.numpy as jnp
 from ..field import params
 from ..field.limb import MontCtx
 
-L = params.NUM_LIMBS
-MASK32 = (1 << params.LIMB_BITS) - 1
+L = params.NUM_LIMBS          # 32 digits
+BASE = float(1 << params.LIMB_BITS)
+INV_BASE = 1.0 / BASE
 TILE = 512  # batch elements per kernel instance (lane axis)
 
 
-def _kernel_body(p_limbs, nprime_limbs, a_ref, b_ref, o_ref):
-    mask = jnp.uint32(MASK32)
+def _ripple(digits, start=0.0):
+    """Sequential exact carry ripple over a list of f32 digit rows."""
+    out = []
+    carry = start
+    for v in digits:
+        v = v + carry
+        carry = jnp.floor(v * INV_BASE)
+        out.append(v - carry * BASE)
+    return out, carry
+
+
+def _kernel_body(p_limbs, nprime_limbs, pcomp_limbs, a_ref, b_ref, o_ref):
     a = [a_ref[i, :] for i in range(L)]
     b = [b_ref[i, :] for i in range(L)]
+    zero = jnp.zeros_like(a[0])
 
-    # t = a * b (2L+1 digit rows, values < 2^21)
-    t = [jnp.zeros_like(a[0]) for _ in range(2 * L + 1)]
+    # t = a * b (2L digit rows, values < 2^21: exact f32)
+    t = [zero for _ in range(2 * L)]
     for i in range(L):
+        ai = a[i]
         for j in range(L):
-            p = a[i] * b[j]
-            t[i + j] = t[i + j] + (p & mask)
-            t[i + j + 1] = t[i + j + 1] + (p >> 16)
-
-    # normalize t
-    carry = jnp.zeros_like(a[0])
-    for k in range(2 * L + 1):
-        v = t[k] + carry
-        t[k] = v & mask
-        carry = v >> 16
+            t[i + j] = t[i + j] + ai * b[j]
+    t, _ = _ripple(t)
 
     # m = t_lo * (-p^-1 mod R) mod R
-    m = [jnp.zeros_like(a[0]) for _ in range(L + 1)]
+    m = [zero for _ in range(L)]
     for i in range(L):
+        ti = t[i]
         for j in range(L - i):
-            p = t[i] * jnp.uint32(nprime_limbs[j])
-            m[i + j] = m[i + j] + (p & mask)
-            if i + j + 1 < L:
-                m[i + j + 1] = m[i + j + 1] + (p >> 16)
-    carry = jnp.zeros_like(a[0])
-    for k in range(L):
-        v = m[k] + carry
-        m[k] = v & mask
-        carry = v >> 16
+            m[i + j] = m[i + j] + ti * nprime_limbs[j]
+    m, _ = _ripple(m)
 
-    # s = t + m * p; low L limbs become zero; result is s[L:2L]
+    # s = t + m * p; low L digits become zero; result is s[L:2L]
     s = list(t)
     for i in range(L):
+        mi = m[i]
         for j in range(L):
-            p = m[i] * jnp.uint32(p_limbs[j])
-            s[i + j] = s[i + j] + (p & mask)
-            s[i + j + 1] = s[i + j + 1] + (p >> 16)
-    carry = jnp.zeros_like(a[0])
-    for k in range(2 * L + 1):
-        v = s[k] + carry
-        s[k] = v & mask
-        carry = v >> 16
-
+            s[i + j] = s[i + j] + mi * p_limbs[j]
+    s, _ = _ripple(s)
     res = s[L:2 * L]
 
-    # conditional subtract p (two's complement add of ~p + 1)
-    cur = [jnp.zeros_like(a[0])] * L
-    c = jnp.ones_like(a[0])  # +1 of two's complement folded into limb 0
+    # conditional subtract p: add the precomputed 2^256 - p digits; the
+    # final carry is 1 exactly when res >= p
+    cur, ge = _ripple([res[k] + pcomp_limbs[k] for k in range(L)])
+    take_sub = ge > 0.5
     for k in range(L):
-        v = res[k] + (mask - jnp.uint32(p_limbs[k])) + c
-        cur[k] = v & mask
-        c = v >> 16
-    # c == 1 <=> res >= p
-    ge = c
-    for k in range(L):
-        o_ref[k, :] = jnp.where(ge.astype(bool), cur[k], res[k])
+        o_ref[k, :] = jnp.where(take_sub, cur[k], res[k])
 
 
 class _EmuRef:
@@ -114,26 +106,25 @@ def mont_mul_pallas(ctx: MontCtx, a: jnp.ndarray, b: jnp.ndarray,
                     interpret: bool = False) -> jnp.ndarray:
     """Batched Montgomery multiply via the Pallas kernel.
 
-    a, b: (N, L) uint32 Montgomery limbs, N a multiple of TILE (pad
-    upstream).  Returns (N, L).  interpret=True runs the kernel body on
-    plain arrays via _EmuRef (the CPU harness detaches the TPU platform,
-    which breaks pallas interpret mode itself — so the real pallas_call
-    below always runs compiled, never interpreted).
-    """
+    a, b: (N, L) f32 digit vectors in Montgomery form; padded to TILE
+    internally.  Returns (N, L).  interpret=True runs the kernel body on
+    plain arrays (CPU harness; no pallas import)."""
     n = a.shape[0]
     pad = (-n) % TILE
     if pad:
-        a = jnp.concatenate([a, jnp.zeros((pad, L), jnp.uint32)])
-        b = jnp.concatenate([b, jnp.zeros((pad, L), jnp.uint32)])
+        a = jnp.concatenate([a, jnp.zeros((pad, L), a.dtype)])
+        b = jnp.concatenate([b, jnp.zeros((pad, L), b.dtype)])
     at = a.T  # (L, N) lane-major
     bt = b.T
 
-    p_limbs = [int(x) for x in ctx.p_np]
-    np_limbs = [int(x) for x in params.to_limbs(ctx.nprime_int)]
+    p_limbs = [float(x) for x in ctx.p_np]
+    np_limbs = [float(x) for x in params.to_limbs(ctx.nprime_int)]
+    pc_limbs = [float(x)
+                for x in params.to_limbs((1 << 256) - ctx.p)]
 
-    kernel = partial(_kernel_body, p_limbs, np_limbs)
+    kernel = partial(_kernel_body, p_limbs, np_limbs, pc_limbs)
     if interpret:
-        o_ref = _EmuRef(jnp.zeros(at.shape, jnp.uint32))
+        o_ref = _EmuRef(jnp.zeros(at.shape, at.dtype))
         kernel(_EmuRef(at), _EmuRef(bt), o_ref)
         res = o_ref.arr.T
         return res[:n] if pad else res
@@ -143,7 +134,7 @@ def mont_mul_pallas(ctx: MontCtx, a: jnp.ndarray, b: jnp.ndarray,
     grid = (at.shape[1] // TILE,)
     out = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct(at.shape, jnp.uint32),
+        out_shape=jax.ShapeDtypeStruct(at.shape, at.dtype),
         grid=grid,
         in_specs=[
             pl.BlockSpec((L, TILE), lambda i: (0, i)),

@@ -9,15 +9,17 @@ data-dependent control flow, and — because XLA compile cost scales with
 graph size — a *bounded number of point-add instantiations* regardless of
 problem size):
 
-- generic c-bit windows (digits are extracted across the 16-bit limb
-  boundaries with precomputed shift tables); ONE batched argsort orders
-  all windows' digit columns at once, outside the per-window scan;
+- generic c-bit windows (digits are extracted across the 8-bit digit
+  boundaries with shift-or chains); ONE batched argsort orders all
+  windows' digit columns at once;
 - per window, bucket sums are read off a prefix scan of the sorted
   points (EC addition is associative).  The scan is *work-efficient*:
   points are laid out as (chunks, 64) and a ``lax.scan`` walks the 64
   sequential positions with all chunks in vector lanes — ~2N point-adds
-  total versus N log N for a Hillis-Steele network, with every add
-  running at full VPU width;
+  total versus N log N for a Hillis-Steele network; ALL windows ride the
+  batch axis together (vmap), so each scan step is one dispatch covering
+  every window at full VPU width (`win_group` caps how many windows are
+  live at once — the HBM knob for huge N);
 - the weighted bucket reduction uses Abel summation:
       sum_j j*B_j  =  2^c * E_top - sum_j E_j
   where E_j is the forward-filled prefix at the end of bucket j — this
@@ -28,8 +30,10 @@ problem size):
 - `msm_stack` runs a whole batch of same-shape MSM instances under one
   more ``lax.scan``, so the prover's four G1 MSMs cost ONE compile.
 
-All scalars are STANDARD-form (non-Montgomery) 16x16-bit limb vectors;
-points are batched Jacobian pytrees (`curve.jacobian.JPoint`).
+All scalars are STANDARD-form (non-Montgomery) 32x8-bit digit vectors in
+f32; points are batched Jacobian pytrees (`curve.jacobian.JPoint`).  The
+point adds dispatch to the fused Pallas kernels (`ops/curve_pallas.py`)
+on TPU backends.
 """
 
 from __future__ import annotations
@@ -173,15 +177,16 @@ def _keep_last(ops):
 def batch_scalar_mul(ops, pts: JPoint, scalar_limbs: jnp.ndarray) -> JPoint:
     """[s_i] P_i for every i — MSB-first double-and-add under lax.scan.
 
-    scalar_limbs: (N, L) standard-form uint32 limbs.  The small-N /
+    scalar_limbs: (N, L) standard-form digit vectors.  The small-N /
     correctness-oracle path (msm_naive)."""
     n_bits = params.LIMB_BITS * L  # 256; top bits of field scalars are zero
     acc0 = jac.infinity(ops, (pts.z.shape[0],))
+    limbs_i = scalar_limbs.astype(jnp.int32)
 
     def body(acc, t):
         bit_t = n_bits - 1 - t
         limb = jax.lax.dynamic_index_in_dim(
-            scalar_limbs, bit_t // params.LIMB_BITS, axis=1, keepdims=False)
+            limbs_i, bit_t // params.LIMB_BITS, axis=1, keepdims=False)
         bit = (limb >> (bit_t % params.LIMB_BITS)) & 1
         acc = jac.double(ops, acc)
         added = jac.add(ops, acc, pts)
@@ -202,25 +207,27 @@ def _take_points(pts: JPoint, idx) -> JPoint:
 
 
 def _digit_columns(scalar_limbs: jnp.ndarray, c: int) -> jnp.ndarray:
-    """(N, L) 16-bit limbs -> (n_windows, N) c-bit digit columns (LSB
-    window first).  Window w covers scalar bits [w*c, (w+1)*c); digits may
-    straddle limb boundaries (handled with a two-limb shift-or)."""
+    """(N, L) 8-bit digit scalars -> (n_windows, N) c-bit window columns
+    (LSB window first).  Window w covers scalar bits [w*c, (w+1)*c);
+    windows may straddle digit boundaries (multi-digit shift-or; only
+    cheap integer shift/or ops — no integer multiplies)."""
     lb = params.LIMB_BITS
     n_bits = lb * L
     n_win = -(-n_bits // c)
     mask = jnp.uint32((1 << c) - 1)
-    # limbs padded with one zero limb so limb[lo+1] always exists
+    ints = scalar_limbs.astype(jnp.uint32)
+    extra = -(-(c + lb - 1) // lb)  # digits a window can straddle, minus 1
     padded = jnp.concatenate(
-        [scalar_limbs,
-         jnp.zeros(scalar_limbs.shape[:-1] + (1,), scalar_limbs.dtype)],
-        axis=-1)
+        [ints, jnp.zeros(ints.shape[:-1] + (extra,), jnp.uint32)], axis=-1)
     cols = []
     for w in range(n_win):
         bit0 = w * c
         lo, sh = bit0 // lb, bit0 % lb
         d = padded[:, lo] >> sh
-        if sh + c > lb:
-            d = d | (padded[:, lo + 1] << (lb - sh))
+        t = 1
+        while sh + c > t * lb:
+            d = d | (padded[:, lo + t] << (t * lb - sh))
+            t += 1
         cols.append(d & mask)
     return jnp.stack(cols)
 
@@ -257,20 +264,44 @@ def _bucket_window_sorted(ops, pts: JPoint, order: jnp.ndarray,
 
 
 def _msm_impl(ops, pts: JPoint, scalar_limbs: jnp.ndarray,
-              window_bits: int) -> JPoint:
+              window_bits: int, win_group: int = 0) -> JPoint:
     digit_cols = _digit_columns(scalar_limbs, window_bits)  # (n_win, N)
     n_win = digit_cols.shape[0]
     # ONE batched sort for all windows (axis-1 comparator network)
     order = jnp.argsort(digit_cols, axis=1).astype(jnp.int32)
     d_sorted = jnp.take_along_axis(digit_cols, order, axis=1)
 
-    def window_body(_, xs):
-        order_w, d_w = xs
-        return None, tuple(_bucket_window_sorted(
-            ops, pts, order_w, d_w, 1 << window_bits))
+    # All windows ride the batch axis of every point op (vmap), so one
+    # prefix-scan step processes every window at once — the dispatch count
+    # per MSM is independent of the window count.  `win_group` bounds how
+    # many windows are materialized together (memory knob for huge N):
+    # groups run under lax.scan, windows within a group under vmap.
+    if win_group <= 0 or win_group >= n_win:
+        win_group = n_win
+    vbucket = jax.vmap(
+        lambda o, d: _bucket_window_sorted(ops, pts, o, d,
+                                           1 << window_bits))
+    if win_group == n_win:
+        window_sums = vbucket(order, d_sorted)
+    else:
+        n_grp = -(-n_win // win_group)
+        pad = n_grp * win_group - n_win
+        if pad:  # zero-digit windows sum to infinity: harmless at the MSB
+            order = jnp.concatenate(
+                [order, jnp.zeros((pad,) + order.shape[1:], order.dtype)])
+            d_sorted = jnp.concatenate(
+                [d_sorted,
+                 jnp.zeros((pad,) + d_sorted.shape[1:], d_sorted.dtype)])
+        o_g = order.reshape(n_grp, win_group, -1)
+        d_g = d_sorted.reshape(n_grp, win_group, -1)
 
-    _, window_sums = jax.lax.scan(window_body, None, (order, d_sorted))
-    window_sums = JPoint(*window_sums)
+        def group_body(_, xs):
+            return None, tuple(vbucket(*xs))
+
+        _, sums = jax.lax.scan(group_body, None, (o_g, d_g))
+        window_sums = JPoint(*(a.reshape((n_grp * win_group,) + a.shape[2:])
+                               for a in sums))
+        n_win = n_grp * win_group
 
     # Horner across windows, MSB window first: acc = 2^c * acc + W_w
     def horner_body(acc, w):
@@ -284,10 +315,19 @@ def _msm_impl(ops, pts: JPoint, scalar_limbs: jnp.ndarray,
     return acc
 
 
-@partial(jax.jit, static_argnums=(0, 3))
+@partial(jax.jit, static_argnums=(0, 3, 4))
 def _msm_windowed(ops, pts: JPoint, scalar_limbs: jnp.ndarray,
-                  window_bits: int) -> JPoint:
-    return _msm_impl(ops, pts, scalar_limbs, window_bits)
+                  window_bits: int, win_group: int = 0) -> JPoint:
+    return _msm_impl(ops, pts, scalar_limbs, window_bits, win_group)
+
+
+def pick_win_group(ops, n: int) -> int:
+    """Windows materialized together (the vmap width inside the MSM).
+    Bounded so the ~4 live (win_group, N, elem) f32 buffers stay under a
+    ~4 GiB HBM budget; 0 (= all windows) below that."""
+    elem_bytes = 4 * 3 * L * (1 if ops.elem_ndim == 1 else 2)
+    g = (1 << 30) // max(1, n * elem_bytes)
+    return 0 if g >= 32 else max(1, g)
 
 
 def pick_window_bits(n: int) -> int:
@@ -298,19 +338,31 @@ def pick_window_bits(n: int) -> int:
 
 
 def msm(ops, pts: JPoint, scalar_limbs: jnp.ndarray,
-        window_bits: int = 0) -> JPoint:
+        window_bits: int = 0, win_group: int = -1) -> JPoint:
     """Pippenger MSM: returns the single point sum_i s_i * P_i.
 
     pts: JPoint batch of N points; scalar_limbs: (N, L) standard form.
-    window_bits 0 = auto (pick_window_bits)."""
+    window_bits 0 = auto (pick_window_bits); win_group -1 = auto
+    (pick_win_group).  N is padded up to the next power of two (>= 64)
+    with infinity/zero terms so different small instances share one
+    compiled graph."""
+    n = pts.z.shape[0]
+    m = max(64, 1 << (n - 1).bit_length())
+    if m != n:
+        pts = _pad_to(ops, pts, m)
+        scalar_limbs = jnp.concatenate(
+            [scalar_limbs,
+             jnp.zeros((m - n, L), scalar_limbs.dtype)])
     if window_bits == 0:
-        window_bits = pick_window_bits(pts.z.shape[0])
-    return _msm_windowed(ops, pts, scalar_limbs, window_bits)
+        window_bits = pick_window_bits(m)
+    if win_group < 0:
+        win_group = pick_win_group(ops, m)
+    return _msm_windowed(ops, pts, scalar_limbs, window_bits, win_group)
 
 
-@partial(jax.jit, static_argnums=(0, 3))
+@partial(jax.jit, static_argnums=(0, 3, 4))
 def msm_stack(ops, pts: JPoint, scalar_limbs: jnp.ndarray,
-              window_bits: int) -> JPoint:
+              window_bits: int, win_group: int = 0) -> JPoint:
     """A batch of m same-size MSM instances under ONE lax.scan: the full
     Pippenger graph is compiled once, not m times (the prover's four G1
     MSMs share this kernel).
@@ -321,7 +373,7 @@ def msm_stack(ops, pts: JPoint, scalar_limbs: jnp.ndarray,
     def body(_, xs):
         px, py, pz, s = xs
         return None, tuple(_msm_impl(ops, JPoint(px, py, pz), s,
-                                     window_bits))
+                                     window_bits, win_group))
 
     _, outs = jax.lax.scan(
         body, None, (pts.x, pts.y, pts.z, scalar_limbs))

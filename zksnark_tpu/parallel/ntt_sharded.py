@@ -80,6 +80,34 @@ def _step_local(sd: ShardedDomain, cols: jnp.ndarray,
     return mont_mul(FR_CTX, block, tw_cols)      # (n2_local, n1, L)
 
 
+def ntt_local_block(sd: ShardedDomain, axis: str, cols: jnp.ndarray,
+                    tw_cols: jnp.ndarray) -> jnp.ndarray:
+    """Four-step forward transform on *local* blocks — call INSIDE a
+    shard_map.  cols: (n1, n2/d, L) M-layout local block; tw_cols:
+    (n2/d, n1, L) local twiddle slice.  Returns (n1/d, n2, L) C-layout."""
+    block = _step_local(sd, cols, tw_cols)    # (n2/d, n1, L)
+    # step 3 — THE all-to-all: j2-sharding -> k1-sharding.  Split the
+    # n1 axis into d chunks, concatenate along the j2 axis.
+    blk = jax.lax.all_to_all(block, axis, split_axis=1, concat_axis=0,
+                             tiled=True)      # (n2, n1/d, L)
+    rows = jnp.moveaxis(blk, 1, 0)            # (n1/d, n2, L)
+    return jax.vmap(lambda v: nttmod.ntt(sd.dom2, v))(rows)
+
+
+def intt_local_block(sd: ShardedDomain, axis: str, rows: jnp.ndarray,
+                     tw_cols: jnp.ndarray) -> jnp.ndarray:
+    """Inverse four-step on local blocks — call INSIDE a shard_map.
+    rows: (n1/d, n2, L) C-layout local block; tw_cols: (n2/d, n1, L)
+    INVERSE twiddle slice.  Returns (n1, n2/d, L) M-layout."""
+    r = jax.vmap(lambda v: nttmod.intt(sd.dom2, v))(rows)
+    blk = jnp.moveaxis(r, 0, 1)               # (n2, n1/d, L)
+    blk = jax.lax.all_to_all(blk, axis, split_axis=0, concat_axis=1,
+                             tiled=True)      # (n2/d, n1, L)
+    blk = mont_mul(FR_CTX, blk, tw_cols)
+    blk = jax.vmap(lambda v: nttmod.intt(sd.dom1, v))(blk)
+    return jnp.moveaxis(blk, 0, 1)            # (n1, n2/d, L)
+
+
 def ntt_sharded(mesh: Mesh, sd: ShardedDomain, m: jnp.ndarray,
                 axis: str = "shard") -> jnp.ndarray:
     """Four-step NTT over the mesh.
@@ -92,19 +120,8 @@ def ntt_sharded(mesh: Mesh, sd: ShardedDomain, m: jnp.ndarray,
     n_dev = mesh.shape[axis]
     assert sd.n2 % n_dev == 0 and sd.n1 % n_dev == 0
 
-    def local(cols, tw_cols):
-        # cols: (n1, n2/d, L); tw_cols: (n2/d, n1, L)
-        block = _step_local(sd, cols, tw_cols)    # (n2/d, n1, L)
-        # step 3 — THE all-to-all: j2-sharding -> k1-sharding.  Split the
-        # n1 axis into d chunks, concatenate along the j2 axis.
-        blk = jax.lax.all_to_all(block, axis, split_axis=1, concat_axis=0,
-                                 tiled=True)      # (n2, n1/d, L)
-        rows = jnp.moveaxis(blk, 1, 0)            # (n1/d, n2, L)
-        rows = jax.vmap(lambda v: nttmod.ntt(sd.dom2, v))(rows)
-        return rows                                # (n1/d, n2, L)
-
     fn = shard_map(
-        local, mesh=mesh,
+        partial(ntt_local_block, sd, axis), mesh=mesh,
         in_specs=(P(None, axis), P(axis)),
         out_specs=P(axis),
         check_rep=False,
@@ -126,20 +143,8 @@ def intt_sharded(mesh: Mesh, sd: ShardedDomain, c: jnp.ndarray,
     n_dev = mesh.shape[axis]
     assert sd.n2 % n_dev == 0 and sd.n1 % n_dev == 0
 
-    def local(rows, tw_cols):
-        # rows: (n1/d, n2, L) — undo step 4: row iNTTs of size n2
-        r = jax.vmap(lambda v: nttmod.intt(sd.dom2, v))(rows)
-        # transpose back: (n1/d, n2, L) -> columns (n1, n2/d, L)
-        blk = jnp.moveaxis(r, 0, 1)               # (n2, n1/d, L)
-        blk = jax.lax.all_to_all(blk, axis, split_axis=0, concat_axis=1,
-                                 tiled=True)      # (n2/d, n1, L)
-        # undo step 2 twiddles, then step-1 column iNTTs
-        blk = mont_mul(FR_CTX, blk, tw_cols)
-        blk = jax.vmap(lambda v: nttmod.intt(sd.dom1, v))(blk)
-        return jnp.moveaxis(blk, 0, 1)            # (n1, n2/d, L)
-
     fn = shard_map(
-        local, mesh=mesh,
+        partial(intt_local_block, sd, axis), mesh=mesh,
         in_specs=(P(axis), P(axis)),
         out_specs=P(None, axis),
         check_rep=False,
@@ -155,3 +160,28 @@ def to_natural(sd: ShardedDomain, c: jnp.ndarray) -> jnp.ndarray:
 def from_coeffs(sd: ShardedDomain, a: jnp.ndarray) -> jnp.ndarray:
     """(n, L) natural-order coefficients -> (n1, n2, L) input matrix."""
     return a.reshape(sd.n1, sd.n2, L)
+
+
+# ---------------------------------------------------------------------------
+# contiguous-shard layouts (for co-sharding CRS points with transform output)
+# ---------------------------------------------------------------------------
+
+def eval_perm(sd: ShardedDomain, n_dev: int) -> np.ndarray:
+    """C-layout: perm[p] = natural evaluation index at contiguous global
+    position p when the (n1, n2) matrix is row(k1)-sharded over n_dev
+    chips.  Position p = (dev, k1_local, k2) row-major; index k = k1+n1*k2.
+    """
+    n1d = sd.n1 // n_dev
+    dev, k1l, k2 = np.meshgrid(
+        np.arange(n_dev), np.arange(n1d), np.arange(sd.n2), indexing="ij")
+    return ((dev * n1d + k1l) + sd.n1 * k2).reshape(-1).astype(np.int32)
+
+
+def coeff_perm(sd: ShardedDomain, n_dev: int) -> np.ndarray:
+    """M-layout: perm[p] = natural coefficient index at contiguous global
+    position p when the (n1, n2) matrix is column(j2)-sharded.  Position
+    p = (dev, j1, j2_local) row-major; index j = n2*j1 + j2."""
+    n2d = sd.n2 // n_dev
+    dev, j1, j2l = np.meshgrid(
+        np.arange(n_dev), np.arange(sd.n1), np.arange(n2d), indexing="ij")
+    return (sd.n2 * j1 + (dev * n2d + j2l)).reshape(-1).astype(np.int32)

@@ -44,13 +44,26 @@ _P = [float(x) for x in params.to_limbs(FQ_CTX.p)]
 _NP = [float(x) for x in params.to_limbs(FQ_CTX.nprime_int)]
 _PC = [float(x) for x in params.to_limbs((1 << 256) - FQ_CTX.p)]
 
-import numpy as _np  # noqa: E402
+# Pallas kernels may not capture array constants (only scalar literals are
+# inlined into the kernel jaxpr), so the (L, 1, 1) digit-row constants for
+# the in-kernel convolutions are BUILT INSIDE the kernel from scalar
+# literals — once per kernel trace, stashed in `_KC` by the kernel entry
+# points (tracing is single-threaded, and each pallas_call re-traces).
+_KC: dict = {}
 
-# (L, 1, 1) broadcastable digit-row constants for the in-kernel convs
-# (numpy on purpose: traced ops embed them as constants, and importing
-# this module never touches a JAX backend)
-_P_ARR = _np.array(_P, _np.float32).reshape(L, 1, 1)
-_NP_ARR = _np.array(_NP, _np.float32).reshape(L, 1, 1)
+
+def _const_rows(vals) -> jnp.ndarray:
+    """(len(vals), SUB, LANE) f32 digit rows from python floats, as traced
+    ops (scalar splats + one concat), never a jaxpr const.  Full tiles:
+    Mosaic cannot broadcast a (1, 1) minor tile in both sublanes and
+    lanes, but a scalar splat is free."""
+    return jnp.concatenate(
+        [jnp.full((1, SUB, LANE), v, jnp.float32) for v in vals], axis=0)
+
+
+def _bind_kernel_consts():
+    _KC["p"] = _const_rows(_P)
+    _KC["np"] = _const_rows(_NP)
 
 
 # ---------------------------------------------------------------------------
@@ -91,9 +104,9 @@ def _fq_mul(a, b):
     bb = jnp.stack(b)
     t_arr = _conv_arr(aa, bb)                     # (2L, sub, lane) < 2^21
     t, _ = _ripple([t_arr[i] for i in range(2 * L)])
-    m_arr = _conv_arr(jnp.stack(t[:L]), _NP_ARR)[:L]   # mod R
+    m_arr = _conv_arr(jnp.stack(t[:L]), _KC["np"])[:L]   # mod R
     m, _ = _ripple([m_arr[i] for i in range(L)])
-    s_arr = _conv_arr(jnp.stack(m), _P_ARR)       # (2L, ...) m*p
+    s_arr = _conv_arr(jnp.stack(m), _KC["p"])     # (2L, ...) m*p
     s, _ = _ripple([s_arr[i] + t[i] for i in range(2 * L)])
     return _fq_cond_sub_p(s[L:2 * L])
 
@@ -283,6 +296,7 @@ def _write(ref, rows):
 
 
 def _add_kernel(nrows, px, py, pz, qx, qy, qz, ox, oy, oz):
+    _bind_kernel_consts()
     K = _KFq if nrows == L else _KFq2
     x3, y3, z3 = _add_core(K, _rows(px, nrows), _rows(py, nrows),
                            _rows(pz, nrows), _rows(qx, nrows),
@@ -293,6 +307,7 @@ def _add_kernel(nrows, px, py, pz, qx, qy, qz, ox, oy, oz):
 
 
 def _double_kernel(nrows, px, py, pz, ox, oy, oz):
+    _bind_kernel_consts()
     K = _KFq if nrows == L else _KFq2
     x3, y3, z3 = _double_core(K, _rows(px, nrows), _rows(py, nrows),
                               _rows(pz, nrows))

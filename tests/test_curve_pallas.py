@@ -24,6 +24,7 @@ rng = random.Random(99)
 
 def _core_op(ops, fn, *pts):
     """Run an _add_core/_double_core on JPoints via the lane-major codec."""
+    cpal._bind_kernel_consts()  # the pallas_call entry points do this
     nr = cpal._nrows(ops)
     K = cpal._KFq if nr == cpal.L else cpal._KFq2
     rows = []

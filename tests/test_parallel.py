@@ -16,7 +16,7 @@ from zksnark_tpu.curve import jacobian as jac  # noqa: E402
 from zksnark_tpu.curve.field_ops import FQ2_OPS, FQ_OPS  # noqa: E402
 from zksnark_tpu.field.host import FR  # noqa: E402
 from zksnark_tpu.field.limb import FR_CTX  # noqa: E402
-from zksnark_tpu.field.params import R  # noqa: E402
+from zksnark_tpu.field.params import NUM_LIMBS, R  # noqa: E402
 from zksnark_tpu.ops import msm as msmod  # noqa: E402
 from zksnark_tpu.ops import ntt as nttmod  # noqa: E402
 from zksnark_tpu.parallel import ntt_sharded as nsh  # noqa: E402
@@ -105,7 +105,7 @@ def test_intt_sharded_roundtrip(mesh):
     m = nsh.from_coeffs(sd, a)
     c = nsh.ntt_sharded(mesh, sd, m)
     back = nsh.intt_sharded(mesh, sd, c)
-    got = FR_CTX.from_mont_np(np.asarray(back.reshape(sd.n, 16)))
+    got = FR_CTX.from_mont_np(np.asarray(back.reshape(sd.n, NUM_LIMBS)))
     assert list(got) == coeffs
 
 

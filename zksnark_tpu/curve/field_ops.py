@@ -62,6 +62,10 @@ class FqOps:
         """(...,) bool -> broadcastable over an element."""
         return mask[..., None]
 
+    def select(self, mask, a, b):
+        """mask ? a : b (mask shape = batch shape)."""
+        return jnp.where(self.bmask(mask), a, b)
+
     # host codecs
     def to_mont_np(self, xs):
         return self.ctx.to_mont_np(xs)
@@ -133,6 +137,9 @@ class Fq2Ops:
 
     def bmask(self, mask):
         return mask[..., None, None]
+
+    def select(self, mask, a, b):
+        return jnp.where(self.bmask(mask), a, b)
 
     # host codecs: values are (c0, c1) int pairs
     def to_mont_np(self, xs):

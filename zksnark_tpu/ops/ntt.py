@@ -30,7 +30,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..field import params
-from ..field.limb import FR_CTX, MontCtx, add, mont_mul, sub
+from ..field.limb import FR_CTX, MontCtx, add, sub
+from .montmul import mont_mul_auto as mont_mul
 
 L = params.NUM_LIMBS
 

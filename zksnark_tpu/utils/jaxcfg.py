@@ -2,7 +2,7 @@
 
 XLA compile times dominate iteration cost on small hosts (the dev box has 2
 CPUs); every entry point (tests, bench, CLI, graft entry) routes through
-`setup_cache()` so each distinct graph is compiled once per repo lifetime.
+`setup_cache()` so each distinct graph is compiled once per machine (XLA:CPU AOT entries embed host CPU features and do not transfer across boxes).
 """
 
 from __future__ import annotations

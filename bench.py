@@ -164,10 +164,10 @@ def main():
         saved_force = mmod._FORCE
         for tag, force in (("", None), ("_xla", "0")):
             mmod._FORCE = force if force is not None else saved_force
-            nt = jax.jit(lambda x: nttmod.ntt(dom, x))
-            jax.block_until_ready(nt(a))
+            nt = jax.jit(lambda x, t: nttmod.ntt(dom, x, t))
+            jax.block_until_ready(nt(a, dom.t))
             t0 = time.time()
-            jax.block_until_ready(nt(a))
+            jax.block_until_ready(nt(a, dom.t))
             ntt_s = time.time() - t0
             details[f"ntt{tag}_ms"] = round(ntt_s * 1e3, 2)
             details[f"ntt{tag}_butterflies_per_s"] = round(

@@ -243,7 +243,7 @@ def _fixed_base_encrypt(ops, base_affine, scalars_std: jnp.ndarray,
 
 
 @partial(jax.jit, static_argnums=(0, 1))
-def _setup_scalars(domain, num_wires: int, ells, xi_mont: jnp.ndarray,
+def _setup_scalars(domain, num_wires: int, ells, dt, xi_mont: jnp.ndarray,
                    alpha_mont: jnp.ndarray, beta_mont: jnp.ndarray,
                    txd_mont: jnp.ndarray, dinv_mont: jnp.ndarray):
     """Device stage of setup: all CRS scalar vectors in one jit.
@@ -259,7 +259,7 @@ def _setup_scalars(domain, num_wires: int, ells, xi_mont: jnp.ndarray,
     """
     from ..ops import scans
 
-    lag = nttmod.intt(domain, xi_mont)  # (n, L) Montgomery L_g(x)
+    lag = nttmod.intt(domain, xi_mont, dt)  # (n, L) Montgomery L_g(x)
 
     def prods(ell_idx, ell_val, scale):
         lg = lag if scale is None else mont_mul(FR_CTX, lag, scale[None, :])
@@ -330,7 +330,7 @@ def device_setup(
             (dqap.w.idx, dqap.w.val))
     to_m = lambda v: jnp.asarray(FR_CTX.to_mont_np([v])[0])  # noqa: E731
     xi_std, xi_t_std, sum_delta_std, _ = _setup_scalars(
-        dqap.domain, dqap.num_wires, ells, xi_mont,
+        dqap.domain, dqap.num_wires, ells, dqap.domain.t, xi_mont,
         to_m(alpha), to_m(beta), to_m(t_x * delta_inv % f),
         to_m(delta_inv))
     _mark("setup scalars (iNTT + segmented sum)", xi_std)
@@ -388,19 +388,24 @@ def _weighted_evals(idx: jnp.ndarray, val: jnp.ndarray,
 
 @partial(jax.jit, static_argnums=(0, 1))
 def _witness_quotient(domain, n_input: int, ell_arrays,
-                      weights_mont: jnp.ndarray):
+                      weights_mont: jnp.ndarray, dt=None):
     """Jitted stage 1: ELL witness reduction -> iNTT -> coset quotient.
-    Returns standard-form scalar vectors (u, v, h, tail-witness)."""
+    Returns standard-form scalar vectors (u, v, h, tail-witness).
+
+    dt: the DomainTables pytree, passed through the jit boundary so the
+    twiddle/coset tables are arguments, not embedded HLO constants."""
     (u_idx, u_val), (v_idx, v_val), (w_idx, w_val) = ell_arrays
     dom = domain
+    if dt is None:
+        dt = dom.t
 
     u_evals = _weighted_evals(u_idx, u_val, weights_mont)
     v_evals = _weighted_evals(v_idx, v_val, weights_mont)
     w_evals = _weighted_evals(w_idx, w_val, weights_mont)
 
-    u_c = nttmod.intt(dom, u_evals)
-    v_c = nttmod.intt(dom, v_evals)
-    h_c = nttmod.divide_by_vanishing(dom, u_evals, v_evals, w_evals)
+    u_c = nttmod.intt(dom, u_evals, dt)
+    v_c = nttmod.intt(dom, v_evals, dt)
+    h_c = nttmod.divide_by_vanishing(dom, u_evals, v_evals, w_evals, dt)
 
     u_std = from_mont(FR_CTX, u_c)
     v_std = from_mont(FR_CTX, v_c)
@@ -434,7 +439,7 @@ def _prove_core(domain, n_input: int, window_bits: int, ell_arrays,
     xi_g1, xi_t_g1, sum_delta_g1, xi_g2 = crs_arrays
     n = domain.n
     u_std, v_std, h_std, wit_std = _witness_quotient(
-        domain, n_input, ell_arrays, weights_mont)
+        domain, n_input, ell_arrays, weights_mont, domain.t)
 
     wb = window_bits
     wg1 = msmod.pick_win_group(FQ_OPS, n)

@@ -24,6 +24,7 @@ mirroring how the reference kept dft/idft only for tests
 from __future__ import annotations
 
 from functools import lru_cache, partial
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -34,6 +35,25 @@ from ..field.limb import FR_CTX, MontCtx, add, sub
 from .montmul import mont_mul_auto as mont_mul
 
 L = params.NUM_LIMBS
+
+
+class DomainTables(NamedTuple):
+    """The field-valued domain tables, as a pytree.
+
+    Pass these THROUGH outer jit boundaries (prover, setup, bench) as
+    arguments: closed-over jnp arrays are embedded into the HLO as
+    constants, which at 2^20 is hundreds of MB of program text (the axon
+    remote-compile endpoint rejects it outright).  Index tables don't
+    exist at all — butterfly pairings and bit-reversal are recomputed
+    in-trace from iota (pure shift/mask math, cheaper than the HBM they
+    would occupy)."""
+
+    tw_table: jnp.ndarray        # (n/2, L) omega^j, Montgomery
+    tw_table_inv: jnp.ndarray    # (n/2, L) omega^-j
+    coset_pows: jnp.ndarray      # (n, L) g^j
+    coset_pows_inv: jnp.ndarray  # (n, L) g^-j
+    n_inv_mont: jnp.ndarray      # (L,)
+    vanishing_inv_mont: jnp.ndarray  # (L,)
 
 
 def _pow_table(base: int, count: int, p: int):
@@ -65,51 +85,46 @@ class Domain:
         self.coset_vanishing = (pow(coset_gen, n, p) - 1) % p
         self.coset_vanishing_inv = pow(self.coset_vanishing, -1, p)
 
-        # bit-reversal permutation
-        idx = np.arange(n)
-        rev = np.zeros(n, dtype=np.int32)
-        for b in range(log_n):
-            rev |= ((idx >> b) & 1).astype(np.int32) << (log_n - 1 - b)
-        self.bitrev = jnp.asarray(rev)
+        # field-valued tables only (index math is recomputed in-trace):
+        # twiddles omega^j / omega^-j for j < n/2, coset scales g^j / g^-j
+        self.t = DomainTables(
+            tw_table=jnp.asarray(ctx.to_mont_np(
+                list(_pow_table(self.omega, max(n // 2, 1), p)))),
+            tw_table_inv=jnp.asarray(ctx.to_mont_np(
+                list(_pow_table(self.omega_inv, max(n // 2, 1), p)))),
+            coset_pows=jnp.asarray(ctx.to_mont_np(
+                list(_pow_table(coset_gen, n, p)))),
+            coset_pows_inv=jnp.asarray(ctx.to_mont_np(
+                list(_pow_table(self.coset_gen_inv, n, p)))),
+            n_inv_mont=jnp.asarray(ctx.to_mont_np([self.n_inv])[0]),
+            vanishing_inv_mont=jnp.asarray(
+                ctx.to_mont_np([self.coset_vanishing_inv])[0]),
+        )
 
-        # Per-stage tables for the uniform scan body.  At stage s
-        # (m = 2^s, half = m/2), pair k = (block, j): u at block*m + j,
-        # v at block*m + half + j, twiddle exponent (n >> s) * j.
-        perm = np.empty((log_n, n), dtype=np.int32)
-        perm_inv = np.empty((log_n, n), dtype=np.int32)
-        tw_idx = np.empty((log_n, n // 2), dtype=np.int32)
-        for s in range(1, log_n + 1):
-            m = 1 << s
-            half = m >> 1
-            k = np.arange(n // 2)
-            block = k // half
-            j = k % half
-            u_pos = block * m + j
-            v_pos = u_pos + half
-            pr = np.concatenate([u_pos, v_pos]).astype(np.int32)
-            perm[s - 1] = pr
-            inv = np.empty(n, dtype=np.int32)
-            inv[pr] = np.arange(n, dtype=np.int32)
-            perm_inv[s - 1] = inv
-            tw_idx[s - 1] = ((n >> s) * j).astype(np.int32)
-        self.perm = jnp.asarray(perm)
-        self.perm_inv = jnp.asarray(perm_inv)
-        self.tw_idx = jnp.asarray(tw_idx)
+    # kept as properties for existing call sites
+    @property
+    def tw_table(self):
+        return self.t.tw_table
 
-        # twiddle value tables (Montgomery): omega^j and omega^-j, j < n/2
-        self.tw_table = jnp.asarray(ctx.to_mont_np(
-            list(_pow_table(self.omega, max(n // 2, 1), p))))
-        self.tw_table_inv = jnp.asarray(ctx.to_mont_np(
-            list(_pow_table(self.omega_inv, max(n // 2, 1), p))))
+    @property
+    def tw_table_inv(self):
+        return self.t.tw_table_inv
 
-        # coset scales (Montgomery form)
-        self.coset_pows = jnp.asarray(ctx.to_mont_np(
-            list(_pow_table(coset_gen, n, p))))
-        self.coset_pows_inv = jnp.asarray(ctx.to_mont_np(
-            list(_pow_table(self.coset_gen_inv, n, p))))
-        self.n_inv_mont = jnp.asarray(ctx.to_mont_np([self.n_inv])[0])
-        self.vanishing_inv_mont = jnp.asarray(
-            ctx.to_mont_np([self.coset_vanishing_inv])[0])
+    @property
+    def coset_pows(self):
+        return self.t.coset_pows
+
+    @property
+    def coset_pows_inv(self):
+        return self.t.coset_pows_inv
+
+    @property
+    def n_inv_mont(self):
+        return self.t.n_inv_mont
+
+    @property
+    def vanishing_inv_mont(self):
+        return self.t.vanishing_inv_mont
 
 
 @lru_cache(maxsize=None)
@@ -117,52 +132,83 @@ def get_domain(log_n: int) -> Domain:
     return Domain(log_n)
 
 
-def _butterflies(domain: Domain, x: jnp.ndarray,
-                 tw_table: jnp.ndarray) -> jnp.ndarray:
+def _bitrev_take(log_n: int, x: jnp.ndarray) -> jnp.ndarray:
+    """Gather x into bit-reversed order; indices built in-trace from iota
+    (log_n shift/or ops — no (n,) table to embed or store)."""
+    idx = jnp.arange(1 << log_n, dtype=jnp.int32)
+    rev = jnp.zeros_like(idx)
+    for b in range(log_n):
+        rev = rev | (((idx >> b) & 1) << (log_n - 1 - b))
+    return jnp.take(x, rev, axis=0)
+
+
+def _butterflies(ctx: MontCtx, log_n: int, tw_table: jnp.ndarray,
+                 x: jnp.ndarray) -> jnp.ndarray:
     """In-order-output DIT butterflies given bit-reversed input.
 
-    One lax.scan over stages; the body is compiled once.
-    """
-    ctx = domain.ctx
-    half = domain.n // 2
+    One lax.scan over stages; the body is compiled once.  At stage s
+    (m = 2^s, half = m/2), pair k = (block, j) reads u at block*m + j and
+    v at u + half with twiddle omega^(j * n/2^s); all pair/output indices
+    are shift/mask functions of iota and the traced stage number, so the
+    graph carries no index tables at all."""
+    n = 1 << log_n
+    k = jnp.arange(n // 2, dtype=jnp.int32)
+    pos = jnp.arange(n, dtype=jnp.int32)
 
-    def body(x, stage):
-        perm, perm_inv, tw_idx = stage
-        xp = jnp.take(x, perm, axis=0)
-        u, v = xp[:half], xp[half:]
-        w = jnp.take(tw_table, tw_idx, axis=0)
+    def body(x, s):
+        sm1 = s - 1
+        half = jnp.int32(1) << sm1
+        j = k & (half - 1)
+        u_pos = ((k >> sm1) << s) | j
+        u = jnp.take(x, u_pos, axis=0)
+        v = jnp.take(x, u_pos + half, axis=0)
+        w = jnp.take(tw_table, j << (log_n - s), axis=0)
         t = mont_mul(ctx, w, v)
         res = jnp.concatenate([add(ctx, u, t), sub(ctx, u, t)], axis=0)
-        return jnp.take(res, perm_inv, axis=0), None
+        # inverse placement, gather-only: position p holds res[src]
+        src = (((pos >> s) << sm1) | (pos & (half - 1))) \
+            + ((pos >> sm1) & 1) * (n // 2)
+        return jnp.take(res, src, axis=0), None
 
     x, _ = jax.lax.scan(
-        body, x, (domain.perm, domain.perm_inv, domain.tw_idx))
+        body, x, jnp.arange(1, log_n + 1, dtype=jnp.int32))
     return x
 
 
-def ntt(domain: Domain, coeffs: jnp.ndarray) -> jnp.ndarray:
-    """coefficients -> evaluations on the domain (Montgomery in/out)."""
-    x = jnp.take(coeffs, domain.bitrev, axis=0)
-    return _butterflies(domain, x, domain.tw_table)
+def ntt(domain: Domain, coeffs: jnp.ndarray,
+        t: DomainTables | None = None) -> jnp.ndarray:
+    """coefficients -> evaluations on the domain (Montgomery in/out).
+
+    Inside an outer jit at large n, pass `t=domain.t` through the jit
+    boundary as an argument (see DomainTables)."""
+    t = domain.t if t is None else t
+    x = _bitrev_take(domain.log_n, coeffs)
+    return _butterflies(domain.ctx, domain.log_n, t.tw_table, x)
 
 
-def intt(domain: Domain, evals: jnp.ndarray) -> jnp.ndarray:
+def intt(domain: Domain, evals: jnp.ndarray,
+         t: DomainTables | None = None) -> jnp.ndarray:
     """evaluations -> coefficients (Montgomery in/out)."""
-    x = jnp.take(evals, domain.bitrev, axis=0)
-    x = _butterflies(domain, x, domain.tw_table_inv)
-    return mont_mul(domain.ctx, x, domain.n_inv_mont[None, :])
+    t = domain.t if t is None else t
+    x = _bitrev_take(domain.log_n, evals)
+    x = _butterflies(domain.ctx, domain.log_n, t.tw_table_inv, x)
+    return mont_mul(domain.ctx, x, t.n_inv_mont[None, :])
 
 
-def coset_ntt(domain: Domain, coeffs: jnp.ndarray) -> jnp.ndarray:
+def coset_ntt(domain: Domain, coeffs: jnp.ndarray,
+              t: DomainTables | None = None) -> jnp.ndarray:
     """coefficients -> evaluations on the coset g*D."""
-    scaled = mont_mul(domain.ctx, coeffs, domain.coset_pows)
-    return ntt(domain, scaled)
+    t = domain.t if t is None else t
+    scaled = mont_mul(domain.ctx, coeffs, t.coset_pows)
+    return ntt(domain, scaled, t)
 
 
-def coset_intt(domain: Domain, evals: jnp.ndarray) -> jnp.ndarray:
+def coset_intt(domain: Domain, evals: jnp.ndarray,
+               t: DomainTables | None = None) -> jnp.ndarray:
     """evaluations on the coset g*D -> coefficients."""
-    coeffs = intt(domain, evals)
-    return mont_mul(domain.ctx, coeffs, domain.coset_pows_inv)
+    t = domain.t if t is None else t
+    coeffs = intt(domain, evals, t)
+    return mont_mul(domain.ctx, coeffs, t.coset_pows_inv)
 
 
 @partial(jax.jit, static_argnums=0)
@@ -175,8 +221,8 @@ def poly_mul(domain: Domain, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
 
 @partial(jax.jit, static_argnums=0)
 def divide_by_vanishing(domain: Domain, u_evals: jnp.ndarray,
-                        v_evals: jnp.ndarray,
-                        w_evals: jnp.ndarray) -> jnp.ndarray:
+                        v_evals: jnp.ndarray, w_evals: jnp.ndarray,
+                        t: DomainTables | None = None) -> jnp.ndarray:
     """h = (U*V - W) / Z_D given *evaluations on the domain D* of the three
     weighted witness polynomials — the Groth16 quotient pipeline
     (replaces prove's O(n^2) convolution + long division,
@@ -188,12 +234,13 @@ def divide_by_vanishing(domain: Domain, u_evals: jnp.ndarray,
     reference's remainder-dropping division.
     """
     ctx = domain.ctx
-    u_c = intt(domain, u_evals)
-    v_c = intt(domain, v_evals)
-    w_c = intt(domain, w_evals)
-    ue = coset_ntt(domain, u_c)
-    ve = coset_ntt(domain, v_c)
-    we = coset_ntt(domain, w_c)
+    td = domain.t if t is None else t
+    u_c = intt(domain, u_evals, td)
+    v_c = intt(domain, v_evals, td)
+    w_c = intt(domain, w_evals, td)
+    ue = coset_ntt(domain, u_c, td)
+    ve = coset_ntt(domain, v_c, td)
+    we = coset_ntt(domain, w_c, td)
     num = sub(ctx, mont_mul(ctx, ue, ve), we)
-    q = mont_mul(ctx, num, domain.vanishing_inv_mont[None, :])
-    return coset_intt(domain, q)
+    q = mont_mul(ctx, num, td.vanishing_inv_mont[None, :])
+    return coset_intt(domain, q, td)

@@ -282,3 +282,36 @@ def test_builder_qap_random_proof_soundness():
             count += 1
     ratio = count / total
     assert 0.001 < ratio < 0.010, ratio
+
+
+def test_u64_add_sub_differential():
+    """Ripple-carry add/sub vs native u64 arithmetic (the arithmetic the
+    reference's validate_balance sketch left unimplemented)."""
+    rng = random.Random(77)
+    c = Circuit(Z251)
+    for _ in range(8):
+        x, y = rng.getrandbits(64), rng.getrandbits(64)
+        wx, wy = c.set_new_word64(x), c.set_new_word64(y)
+        assert c.evaluate_to_num(c.u64_add(wx, wy)) == (x + y) % (1 << 64)
+        assert c.evaluate_to_num(c.u64_sub(wx, wy)) == (x - y) % (1 << 64)
+
+
+def test_validate_balance_equality_wire():
+    """z == x - y accepted, z != x - y rejected (hash commitments are the
+    keccak gadget, already differential-tested; keep them un-evaluated
+    here and check the balance wire only)."""
+    rng = random.Random(78)
+    c = Circuit(Z251)
+    x, y = rng.getrandbits(64), rng.getrandbits(64)
+    z = (x - y) % (1 << 64)
+    wx, wy = c.set_new_word64(x), c.set_new_word64(y)
+    wz = c.set_new_word64(z)
+    out = c.validate_balance(wx, wy, wz)
+    assert c.evaluate(out["is_z_eq_x_min_y"]) == 1
+    assert len(out["x_hash"]) == 32
+
+    c2 = Circuit(Z251)
+    wx, wy = c2.set_new_word64(x), c2.set_new_word64(y)
+    wz = c2.set_new_word64((z + 1) % (1 << 64))
+    out2 = c2.validate_balance(wx, wy, wz)
+    assert c2.evaluate(out2["is_z_eq_x_min_y"]) == 0

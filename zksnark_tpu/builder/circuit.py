@@ -440,6 +440,66 @@ class Circuit:
     def keccak256_stream(self, input_words) -> List[Word8]:
         return self.keccak256(list(input_words))
 
+    # -- 64-bit word arithmetic -------------------------------------------
+    def u64_add(self, a: Word64, b: Word64) -> Word64:
+        """64-bit ripple-carry addition mod 2^64 (LSB-first wires).
+
+        The in-circuit arithmetic the reference left ``unimplemented!``
+        in its validate_balance sketch (builder/mod.rs:1478-1495): per
+        bit, sum = x ^ y ^ c and carry' = (x & y) | (c & (x ^ y)); the
+        carry out of bit 63 is dropped."""
+        from .words import iter_word64_bits, word64
+
+        out: List[int] = []
+        carry = None
+        for x, y in zip(iter_word64_bits(a), iter_word64_bits(b)):
+            s = self.new_xor(x, y)
+            if carry is None:
+                out.append(s)
+                carry = self.new_and(x, y)
+            else:
+                out.append(self.new_xor(s, carry))
+                carry = self.new_or(self.new_and(x, y),
+                                    self.new_and(carry, s))
+        return word64(out)
+
+    def u64_sub(self, a: Word64, b: Word64) -> Word64:
+        """a - b mod 2^64: two's complement a + ~b + 1 (the +1 rides in
+        as the initial carry: sum0 = x ^ ~y ^ 1, carry0 = x | ~y-and-1
+        folded algebraically below)."""
+        from .words import iter_word64_bits, word64
+
+        out: List[int] = []
+        carry = self.unity_wire()  # the +1 of two's complement
+        for x, y in zip(iter_word64_bits(a), iter_word64_bits(b)):
+            ny = self.new_not(y)
+            s = self.new_xor(x, ny)
+            out.append(self.new_xor(s, carry))
+            carry = self.new_or(self.new_and(x, ny),
+                                self.new_and(carry, s))
+        return word64(out)
+
+    def validate_balance(self, input_x: Word64, input_y: Word64,
+                         input_z: Word64):
+        """Balance gadget: commitments to x, y, z plus an in-circuit
+        proof that z == x - y (mod 2^64).
+
+        The reference ships this only as a commented-out sketch with the
+        subtraction ``unimplemented!`` (builder/mod.rs:1478-1495,
+        types.rs:20-31); here it is implemented via the ripple-carry
+        subtractor above.  Returns the ValidateBalance fields."""
+        x_hash = self.keccak256_stream(list(input_x))
+        y_hash = self.keccak256_stream(list(input_y))
+        z_hash = self.keccak256_stream(list(input_z))
+        x_min_y = self.u64_sub(input_x, input_y)
+        is_z_eq = self.is_equal(input_z, x_min_y)
+        return {
+            "x_hash": x_hash,
+            "y_hash": y_hash,
+            "z_hash": z_hash,
+            "is_z_eq_x_min_y": is_z_eq,
+        }
+
     def validate_order(self, input_x: Word64, pub_range, input_y: Word64,
                        pub_c: Word64):
         """Range + ordering + hash-commitment gadget

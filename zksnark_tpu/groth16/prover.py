@@ -40,9 +40,9 @@ from ..curve.field_ops import FQ2_OPS, FQ_OPS
 from ..curve.jacobian import JPoint
 from ..field import params
 from ..field.limb import (
-    DT as l_DT, FR_CTX, add as l_add, from_mont,
+    DT as l_DT, FR_CTX, add as l_add,
 )
-from ..ops.montmul import mont_mul_auto as mont_mul
+from ..ops.montmul import from_mont_auto as from_mont, mont_mul_auto as mont_mul
 from ..frontend.r1cs import R1CS
 from ..ops import msm as msmod
 from ..ops import ntt as nttmod

@@ -183,3 +183,13 @@ def mont_mul_auto(ctx: MontCtx, a: jnp.ndarray, b: jnp.ndarray
         return limb.mont_mul(ctx, a, b)
     out = mont_mul_pallas(ctx, a.reshape(n, L), b.reshape(n, L))
     return out.reshape(a.shape)
+
+
+def from_mont_auto(ctx: MontCtx, a: jnp.ndarray) -> jnp.ndarray:
+    """Montgomery -> standard form, kernel-routed for big batches.
+
+    The XLA limb path materializes a (batch, L, 2L+1) skew-convolution
+    intermediate (~8 GB at 2^20 wires — an HBM OOM); the Pallas kernel
+    streams 512-element tiles instead."""
+    one = jnp.zeros_like(a).at[..., 0].set(1.0)
+    return mont_mul_auto(ctx, a, one)

@@ -39,7 +39,8 @@ from jax.experimental.shard_map import shard_map
 from ..curve.field_ops import FQ2_OPS, FQ_OPS
 from ..curve.jacobian import JPoint
 from ..field import params
-from ..field.limb import FR_CTX, from_mont, mont_mul, sub as l_sub
+from ..field.limb import FR_CTX, sub as l_sub
+from ..ops.montmul import from_mont_auto as from_mont, mont_mul_auto as mont_mul
 from ..groth16 import prover as prover_mod
 from ..ops import ntt as nttmod
 from . import ntt_sharded as nsh

@@ -132,19 +132,22 @@ def main():
         import jax.numpy as jnp
 
         from zksnark_tpu.curve.field_ops import FQ_OPS
-        from zksnark_tpu.field.limb import FR_CTX, from_mont
+        from zksnark_tpu.field.limb import FR_CTX
+        from zksnark_tpu.ops.montmul import from_mont_auto as from_mont
         from zksnark_tpu.ops import msm as msmod
         from zksnark_tpu.ops import ntt as nttmod
 
         n = dqap.n
-        wb = 16 if n >= (1 << 18) else 8
+        wb = msmod.pick_window_bits(n)
+        wg = msmod.pick_win_group(FQ_OPS, n)  # HBM cap (win_group=0 at
+        # 2^20 would keep 16 full-width window buffers live: ~6.4 GB)
         scalars = from_mont(
             FR_CTX, jnp.asarray(FR_CTX.to_mont_np(wit[:n] + [0] * max(
                 0, n - len(wit)))))
-        r = msmod._msm_windowed(FQ_OPS, dcrs.xi_g1, scalars, wb)
+        r = msmod._msm_windowed(FQ_OPS, dcrs.xi_g1, scalars, wb, wg)
         jax.block_until_ready(r.x)  # warm
         t0 = time.time()
-        r = msmod._msm_windowed(FQ_OPS, dcrs.xi_g1, scalars, wb)
+        r = msmod._msm_windowed(FQ_OPS, dcrs.xi_g1, scalars, wb, wg)
         jax.block_until_ready(r.x)
         msm_s = time.time() - t0
         details["msm_g1_ms"] = round(msm_s * 1e3, 1)

@@ -144,10 +144,10 @@ def main():
         scalars = from_mont(
             FR_CTX, jnp.asarray(FR_CTX.to_mont_np(wit[:n] + [0] * max(
                 0, n - len(wit)))))
-        r = msmod._msm_windowed(FQ_OPS, dcrs.xi_g1, scalars, wb, wg)
+        r = msmod._msm_windowed(FQ_OPS, dcrs.xi_g1, scalars, wb, wg, True)
         jax.block_until_ready(r.x)  # warm
         t0 = time.time()
-        r = msmod._msm_windowed(FQ_OPS, dcrs.xi_g1, scalars, wb, wg)
+        r = msmod._msm_windowed(FQ_OPS, dcrs.xi_g1, scalars, wb, wg, True)
         jax.block_until_ready(r.x)
         msm_s = time.time() - t0
         details["msm_g1_ms"] = round(msm_s * 1e3, 1)

@@ -105,3 +105,50 @@ def test_batch_scalar_mul():
     aff = jac.to_affine_np(FQ_OPS, msmod.batch_scalar_mul(FQ_OPS, P, slimbs))
     assert all(aff[i] == hc.g1_scalar_mul(host[i], scalars[i])
                for i in range(n))
+
+
+def test_batch_normalize_and_affine_msm():
+    """batch_normalize (Montgomery-trick inversion) preserves every point
+    and emits Z in {0, one}; the MSM's affine fast path (mixed adds on
+    TPU) agrees with the projective path and the host ground truth."""
+    n = 37
+    ks = [rng.randrange(1, R) for _ in range(n)]
+    host, P = _g1_batch(ks)
+    proj = jac.add(FQ_OPS, P, jac.double(FQ_OPS, P))  # 3P, projective Z
+    mask = jnp.asarray([i % 11 == 0 for i in range(n)])
+    mixed = jac.select(FQ_OPS, mask, jac.infinity(FQ_OPS, (n,)), proj)
+
+    norm = jac.batch_normalize(FQ_OPS, mixed)
+    import numpy as np
+
+    zs = set(int(z) for z in FQ_OPS.from_mont_np(np.asarray(norm.z)))
+    assert zs <= {0, 1}
+    assert (jac.to_affine_np(FQ_OPS, norm)
+            == jac.to_affine_np(FQ_OPS, mixed)).all()
+
+    scalars = [rng.randrange(R) for _ in range(n)]
+    slimbs = jnp.asarray(FR_CTX.to_limbs_np(scalars))
+    expect = None
+    for i, (k, s) in enumerate(zip(ks, scalars)):
+        if i % 11 == 0:
+            continue
+        expect = hc.g1_add(expect, hc.g1_scalar_mul(
+            hc.G1_GEN_PT, 3 * k * s % R))
+    r_aff = jac.to_affine_np(FQ_OPS, msmod.msm(
+        FQ_OPS, norm, slimbs, window_bits=4, affine=True))
+    r_prj = jac.to_affine_np(FQ_OPS, msmod.msm(
+        FQ_OPS, mixed, slimbs, window_bits=4))
+    assert r_aff == r_prj == expect
+
+
+def test_g2_batch_normalize():
+    ks = [rng.randrange(1, R) for _ in range(9)]
+    pts = [hc.g2_scalar_mul(hc.G2_GEN, k) for k in ks]
+    P2 = jac.from_affine(
+        FQ2_OPS,
+        jnp.asarray(FQ2_OPS.to_mont_np([list(p[0]) for p in pts])),
+        jnp.asarray(FQ2_OPS.to_mont_np([list(p[1]) for p in pts])))
+    proj = jac.double(FQ2_OPS, P2)
+    norm = jac.batch_normalize(FQ2_OPS, proj)
+    assert (jac.to_affine_np(FQ2_OPS, norm)
+            == jac.to_affine_np(FQ2_OPS, proj)).all()

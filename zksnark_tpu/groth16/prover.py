@@ -215,7 +215,8 @@ def _comb_encrypt(ops, table: JPoint, scalars_std: jnp.ndarray) -> JPoint:
         tx, ty, tz, dw = inp
         pt = JPoint(jnp.take(tx, dw, axis=0), jnp.take(ty, dw, axis=0),
                     jnp.take(tz, dw, axis=0))
-        return jac.add(ops, acc, pt), None
+        # comb-table entries are affine-or-infinity -> cheap mixed add
+        return jac.madd(ops, acc, pt), None
 
     acc0 = jac.infinity(ops, (m,))
     acc, _ = jax.lax.scan(
@@ -237,6 +238,10 @@ def _fixed_base_encrypt(ops, base_affine, scalars_std: jnp.ndarray,
             [scalars_std, jnp.zeros((m - n, L), l_DT)])
     table = _comb_table(ops, base_affine)
     out = _comb_encrypt(ops, table, scalars_std)
+    # normalize BEFORE slicing so every same-padded piece shares one
+    # compiled graph; the DeviceCRS invariant (Z in {0, one}) is what
+    # lets every prover MSM run mixed adds (msm affine=True)
+    out = jac.batch_normalize(ops, out)
     if m != n:
         out = JPoint(out.x[:n], out.y[:n], out.z[:n])
     return out
@@ -444,13 +449,15 @@ def _prove_core(domain, n_input: int, window_bits: int, ell_arrays,
     wb = window_bits
     wg1 = msmod.pick_win_group(FQ_OPS, n)
     wg2 = msmod.pick_win_group(FQ2_OPS, n)
-    a_g1 = msmod._msm_windowed(FQ_OPS, xi_g1, u_std, wb, wg1)
-    b_g1 = msmod._msm_windowed(FQ_OPS, xi_g1, v_std, wb, wg1)
+    # affine=True: DeviceCRS point sets satisfy the batch_normalize
+    # invariant (device_setup/serialization guarantee Z in {0, one})
+    a_g1 = msmod._msm_windowed(FQ_OPS, xi_g1, u_std, wb, wg1, True)
+    b_g1 = msmod._msm_windowed(FQ_OPS, xi_g1, v_std, wb, wg1, True)
     hp, hs = _pad_msm(FQ_OPS, xi_t_g1, h_std[:n - 1], n)
-    h_xt = msmod._msm_windowed(FQ_OPS, hp, hs, wb, wg1)
+    h_xt = msmod._msm_windowed(FQ_OPS, hp, hs, wb, wg1, True)
     dp, ds = _pad_msm(FQ_OPS, sum_delta_g1, wit_std, n)
-    c_delta = msmod._msm_windowed(FQ_OPS, dp, ds, wb, wg1)
-    b_g2 = msmod._msm_windowed(FQ2_OPS, xi_g2, v_std, wb, wg2)
+    c_delta = msmod._msm_windowed(FQ_OPS, dp, ds, wb, wg1, True)
+    b_g2 = msmod._msm_windowed(FQ2_OPS, xi_g2, v_std, wb, wg2, True)
 
     return a_g1, b_g1, b_g2, h_xt, c_delta
 

@@ -233,6 +233,71 @@ def _one_mont(K, like):
     return one
 
 
+def _double_affine_core(K, x, y):
+    """dbl-2009-l specialized to Z = 1 (6 field muls; Z3 = 2Y)."""
+    a = K.sqr(x)
+    b = K.sqr(y)
+    c = K.sqr(b)
+    d = K.dbl(K.sub(K.sqr(K.add(x, b)), K.add(a, c)))
+    e = K.add(K.dbl(a), a)
+    f = K.sqr(e)
+    x3 = K.sub(f, K.dbl(d))
+    c8 = K.dbl(K.dbl(K.dbl(c)))
+    y3 = K.sub(K.mul(e, K.sub(d, x3)), c8)
+    z3 = K.dbl(y)
+    return x3, y3, z3
+
+
+def _madd_core(K, px, py, pz, qx, qy, qz):
+    """Complete mixed add (madd-2007-bl): Q MUST satisfy Z2 in {0, 1}
+    (`curve.jacobian.batch_normalize` invariant).  10 field muls on the
+    generic path + 6 for the P=Q branch vs 16 + 7 for `_add_core`."""
+    z1z1 = K.sqr(pz)
+    u2 = K.mul(qx, z1z1)
+    s2 = K.mul(K.mul(qy, pz), z1z1)
+    h = K.sub(u2, px)                      # U1 = X1 (Z2 = 1)
+    hh = K.sqr(h)
+    i = K.dbl(K.dbl(hh))
+    j = K.mul(h, i)
+    rsub = K.sub(s2, py)                   # S1 = Y1
+    rr = K.dbl(rsub)
+    v = K.mul(px, i)
+    x3 = K.sub(K.sub(K.sqr(rr), j), K.dbl(v))
+    y3 = K.sub(K.mul(rr, K.sub(v, x3)), K.dbl(K.mul(py, j)))
+    z3 = K.mul(K.dbl(pz), h)               # (Z1+H)^2 - Z1Z1 - HH
+
+    h_zero = K.is_zero(h)
+    r_zero = K.is_zero(rsub)
+    p_inf = K.is_zero(pz)
+    q_inf = K.is_zero(qz)
+
+    # P = Q (both finite): double the AFFINE q — cheaper than doubling P
+    dx, dy, dz = _double_affine_core(K, qx, qy)
+    both = jnp.logical_and(h_zero, r_zero)
+    x3 = K.select(both, dx, x3)
+    y3 = K.select(both, dy, y3)
+    z3 = K.select(both, dz, z3)
+
+    # P = -Q (h=0, r!=0, neither inf): infinity
+    cancel = jnp.logical_and(
+        jnp.logical_and(h_zero, jnp.logical_not(r_zero)),
+        jnp.logical_and(jnp.logical_not(p_inf), jnp.logical_not(q_inf)))
+    one = _one_mont(K, px[0])
+    zero = [jnp.zeros_like(px[0])] * K.rows
+    x3 = K.select(cancel, one, x3)
+    y3 = K.select(cancel, one, y3)
+    z3 = K.select(cancel, zero, z3)
+
+    # Q = inf -> P ; P = inf -> Q (Q's own Z is already one-or-zero)
+    x3 = K.select(q_inf, px, x3)
+    y3 = K.select(q_inf, py, y3)
+    z3 = K.select(q_inf, pz, z3)
+    x3 = K.select(p_inf, qx, x3)
+    y3 = K.select(p_inf, qy, y3)
+    z3 = K.select(p_inf, qz, z3)
+    return x3, y3, z3
+
+
 def _add_core(K, px, py, pz, qx, qy, qz):
     """Complete add-2007-bl with edge-case masks (mirrors jacobian.add)."""
     z1z1 = K.sqr(pz)
@@ -306,6 +371,17 @@ def _add_kernel(nrows, px, py, pz, qx, qy, qz, ox, oy, oz):
     _write(oz, z3)
 
 
+def _madd_kernel(nrows, px, py, pz, qx, qy, qz, ox, oy, oz):
+    _bind_kernel_consts()
+    K = _KFq if nrows == L else _KFq2
+    x3, y3, z3 = _madd_core(K, _rows(px, nrows), _rows(py, nrows),
+                            _rows(pz, nrows), _rows(qx, nrows),
+                            _rows(qy, nrows), _rows(qz, nrows))
+    _write(ox, x3)
+    _write(oy, y3)
+    _write(oz, z3)
+
+
 def _double_kernel(nrows, px, py, pz, ox, oy, oz):
     _bind_kernel_consts()
     K = _KFq if nrows == L else _KFq2
@@ -349,6 +425,26 @@ def _add_call(nrows):
         spec = pl.BlockSpec((nrows, SUB, LANE), lambda i: (0, i, 0))
         return pl.pallas_call(
             partial(_add_kernel, nrows),
+            out_shape=tuple(
+                jax.ShapeDtypeStruct(lms[0].shape, lms[0].dtype)
+                for _ in range(3)),
+            grid=(n_tiles,),
+            in_specs=[spec] * 6,
+            out_specs=(spec, spec, spec),
+        )(*lms)
+
+    return jax.jit(fn)
+
+
+@lru_cache(maxsize=None)
+def _madd_call(nrows):
+    import jax.experimental.pallas as pl
+
+    def fn(*lms):
+        n_tiles = lms[0].shape[1] // SUB
+        spec = pl.BlockSpec((nrows, SUB, LANE), lambda i: (0, i, 0))
+        return pl.pallas_call(
+            partial(_madd_kernel, nrows),
             out_shape=tuple(
                 jax.ShapeDtypeStruct(lms[0].shape, lms[0].dtype)
                 for _ in range(3)),
@@ -409,6 +505,25 @@ def jac_add(ops, p, q):
         lms.append(lm)
         meta = (bs, n)
     ox, oy, oz = _add_call(nr)(*lms)
+    bs, n = meta
+    from ..curve.jacobian import JPoint
+
+    return JPoint(_from_lane_major(ox, nr, bs, n),
+                  _from_lane_major(oy, nr, bs, n),
+                  _from_lane_major(oz, nr, bs, n))
+
+
+def jac_madd(ops, p, q):
+    """Fused complete MIXED add: q.z must be in {0, one} (see
+    `curve.jacobian.madd`)."""
+    nr = _nrows(ops)
+    lms = []
+    meta = None
+    for arr in (p.x, p.y, p.z, q.x, q.y, q.z):
+        lm, bs, n = _to_lane_major(arr, nr)
+        lms.append(lm)
+        meta = (bs, n)
+    ox, oy, oz = _madd_call(nr)(*lms)
     bs, n = meta
     from ..curve.jacobian import JPoint
 

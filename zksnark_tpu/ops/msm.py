@@ -233,38 +233,65 @@ def _digit_columns(scalar_limbs: jnp.ndarray, c: int) -> jnp.ndarray:
 
 
 def _bucket_window_sorted(ops, pts: JPoint, order: jnp.ndarray,
-                          d_sorted: jnp.ndarray, num_buckets: int) -> JPoint:
+                          d_sorted: jnp.ndarray, num_buckets: int,
+                          affine: bool = False) -> JPoint:
     """sum_i digit_i * P_i for one c-bit window, given the sort permutation
-    and pre-sorted digits (see module doc)."""
-    p_sorted = _take_points(pts, order)
+    and pre-sorted digits (see module doc).
 
-    prefix = _prefix_scan(ops, p_sorted)
+    The global point prefix is never materialized: the chunked scan gives
+    within-chunk prefixes (~N combines) and each BUCKET (not each point)
+    gets its chunk carry added — prefix_at_run_end = chunk_carry + within
+    — so the carry fixup costs 2^c adds instead of N.  With `affine=True`
+    (points satisfy the batch_normalize invariant Z in {0, one}) the N
+    scan combines run the cheap fused mixed-add kernel."""
+    p_sorted = _take_points(pts, order)
+    n = p_sorted.z.shape[0]
+    comb = partial(jac.madd if affine else jac.add, ops)
+
+    cdim = min(_CHUNK, n)
+    totals, within = _scan_chunks(ops, p_sorted, comb, cdim, collect=True)
+    b = totals.z.shape[0]
+
+    # exclusive chunk carries (b = n/64 points; ~2b general adds)
+    shifted = _concat(ops, jac.infinity(ops, (1,)),
+                      JPoint(totals.x[:-1], totals.y[:-1], totals.z[:-1]))
+    carry = _prefix_scan(ops, shifted)
+    flat_w = _reshape(within, (b * cdim,), 2)
+    flat_w = JPoint(flat_w.x[:n], flat_w.y[:n], flat_w.z[:n])
 
     # run-end mask: position k closes its digit's run
     nxt = jnp.concatenate(
         [d_sorted[1:], jnp.full((1,), num_buckets, d_sorted.dtype)])
     run_end = d_sorted != nxt
-
-    # scatter run-end prefixes to bucket slots, then forward-fill
-    ends = jac.infinity(ops, (num_buckets,))
     tgt = jnp.where(run_end, d_sorted.astype(jnp.int32),
                     jnp.int32(num_buckets))
-    ends = JPoint(
-        ends.x.at[tgt].set(prefix.x, mode="drop"),
-        ends.y.at[tgt].set(prefix.y, mode="drop"),
-        ends.z.at[tgt].set(prefix.z, mode="drop"),
+
+    # scatter run-end within-prefixes and run-end chunk indices to bucket
+    # slots; empty buckets keep (infinity, chunk 0) and carry[0] = infinity
+    ends_w = jac.infinity(ops, (num_buckets,))
+    ends_w = JPoint(
+        ends_w.x.at[tgt].set(flat_w.x, mode="drop"),
+        ends_w.y.at[tgt].set(flat_w.y, mode="drop"),
+        ends_w.z.at[tgt].set(flat_w.z, mode="drop"),
     )
+    pos_chunk = jnp.arange(n, dtype=jnp.int32) // cdim
+    bucket_chunk = jnp.zeros((num_buckets,), jnp.int32).at[tgt].set(
+        pos_chunk, mode="drop")
+    ends_c = _take_points(carry, bucket_chunk)
+    ends = jac.add(ops, ends_c, ends_w)
     filled = _prefix_scan(ops, ends, combine=_keep_last(ops))
 
-    # Abel: sum_j j*B_j = num_buckets * E_top - sum_j E_j
-    e_top = _last(prefix)
+    # Abel: sum_j j*B_j = num_buckets * E_top - sum_j E_j; the last fill
+    # value IS the global total (the final position always ends its run)
+    e_top = _last(filled)
     lhs = _double_n(ops, e_top, num_buckets.bit_length() - 1)
     rhs = tree_sum(ops, filled)
     return jac.add(ops, lhs, jac.neg(ops, rhs))
 
 
 def _msm_impl(ops, pts: JPoint, scalar_limbs: jnp.ndarray,
-              window_bits: int, win_group: int = 0) -> JPoint:
+              window_bits: int, win_group: int = 0,
+              affine: bool = False) -> JPoint:
     digit_cols = _digit_columns(scalar_limbs, window_bits)  # (n_win, N)
     n_win = digit_cols.shape[0]
     # ONE batched sort for all windows (axis-1 comparator network)
@@ -280,7 +307,7 @@ def _msm_impl(ops, pts: JPoint, scalar_limbs: jnp.ndarray,
         win_group = n_win
     vbucket = jax.vmap(
         lambda o, d: _bucket_window_sorted(ops, pts, o, d,
-                                           1 << window_bits))
+                                           1 << window_bits, affine))
     if win_group == n_win:
         window_sums = vbucket(order, d_sorted)
     else:
@@ -315,10 +342,11 @@ def _msm_impl(ops, pts: JPoint, scalar_limbs: jnp.ndarray,
     return acc
 
 
-@partial(jax.jit, static_argnums=(0, 3, 4))
+@partial(jax.jit, static_argnums=(0, 3, 4, 5))
 def _msm_windowed(ops, pts: JPoint, scalar_limbs: jnp.ndarray,
-                  window_bits: int, win_group: int = 0) -> JPoint:
-    return _msm_impl(ops, pts, scalar_limbs, window_bits, win_group)
+                  window_bits: int, win_group: int = 0,
+                  affine: bool = False) -> JPoint:
+    return _msm_impl(ops, pts, scalar_limbs, window_bits, win_group, affine)
 
 
 def pick_win_group(ops, n: int) -> int:
@@ -338,14 +366,17 @@ def pick_window_bits(n: int) -> int:
 
 
 def msm(ops, pts: JPoint, scalar_limbs: jnp.ndarray,
-        window_bits: int = 0, win_group: int = -1) -> JPoint:
+        window_bits: int = 0, win_group: int = -1,
+        affine: bool = False) -> JPoint:
     """Pippenger MSM: returns the single point sum_i s_i * P_i.
 
     pts: JPoint batch of N points; scalar_limbs: (N, L) standard form.
     window_bits 0 = auto (pick_window_bits); win_group -1 = auto
     (pick_win_group).  N is padded up to the next power of two (>= 64)
     with infinity/zero terms so different small instances share one
-    compiled graph."""
+    compiled graph.  affine=True asserts the batch_normalize invariant
+    (every Z in {0, one}) and runs the bucket scans on the cheap fused
+    mixed-add kernel."""
     n = pts.z.shape[0]
     m = max(64, 1 << (n - 1).bit_length())
     if m != n:
@@ -357,12 +388,14 @@ def msm(ops, pts: JPoint, scalar_limbs: jnp.ndarray,
         window_bits = pick_window_bits(m)
     if win_group < 0:
         win_group = pick_win_group(ops, m)
-    return _msm_windowed(ops, pts, scalar_limbs, window_bits, win_group)
+    return _msm_windowed(ops, pts, scalar_limbs, window_bits, win_group,
+                         affine)
 
 
-@partial(jax.jit, static_argnums=(0, 3, 4))
+@partial(jax.jit, static_argnums=(0, 3, 4, 5))
 def msm_stack(ops, pts: JPoint, scalar_limbs: jnp.ndarray,
-              window_bits: int, win_group: int = 0) -> JPoint:
+              window_bits: int, win_group: int = 0,
+              affine: bool = False) -> JPoint:
     """A batch of m same-size MSM instances under ONE lax.scan: the full
     Pippenger graph is compiled once, not m times (the prover's four G1
     MSMs share this kernel).
@@ -373,7 +406,7 @@ def msm_stack(ops, pts: JPoint, scalar_limbs: jnp.ndarray,
     def body(_, xs):
         px, py, pz, s = xs
         return None, tuple(_msm_impl(ops, JPoint(px, py, pz), s,
-                                     window_bits, win_group))
+                                     window_bits, win_group, affine))
 
     _, outs = jax.lax.scan(
         body, None, (pts.x, pts.y, pts.z, scalar_limbs))

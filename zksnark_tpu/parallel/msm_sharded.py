@@ -48,12 +48,13 @@ def shard_points(mesh: Mesh, pts: JPoint, axis: str = "shard") -> JPoint:
 
 @lru_cache(maxsize=None)
 def _sharded_msm_fn(ops, mesh: Mesh, axis: str, window_bits: int,
-                    use_pippenger: bool):
+                    use_pippenger: bool, affine: bool = False):
     """One jitted shard_map MSM per configuration (see module doc)."""
 
     def local(pts_l: JPoint, scalars_l: jnp.ndarray) -> JPoint:
         if use_pippenger:
-            part = msmod._msm_impl(ops, pts_l, scalars_l, window_bits)
+            part = msmod._msm_impl(ops, pts_l, scalars_l, window_bits,
+                                   affine=affine)
         else:
             part = msmod.tree_sum(
                 ops, msmod.batch_scalar_mul(ops, pts_l, scalars_l))
@@ -72,10 +73,12 @@ def _sharded_msm_fn(ops, mesh: Mesh, axis: str, window_bits: int,
 
 def msm_sharded(ops, mesh: Mesh, pts: JPoint, scalar_limbs: jnp.ndarray,
                 axis: str = "shard", window_bits: int = 8,
-                use_pippenger: bool = True) -> JPoint:
+                use_pippenger: bool = True, affine: bool = False) -> JPoint:
     """MSM over a sharded point array: per-chip Pippenger + gather-reduce.
 
     N must be divisible by the mesh size (pad with infinity upstream).
+    affine=True asserts the batch_normalize invariant on pts (see ops.msm).
     """
-    fn = _sharded_msm_fn(ops, mesh, axis, window_bits, use_pippenger)
+    fn = _sharded_msm_fn(ops, mesh, axis, window_bits, use_pippenger,
+                         affine)
     return fn(pts, scalar_limbs)

@@ -192,13 +192,17 @@ def sharded_prove_step(mesh: Mesh, domain, n_input: int, window_bits: int,
     sum_delta_pad, _ = prover_mod._pad_msm(
         FQ_OPS, sum_delta_g1, jnp.zeros((n, L), h_std.dtype), n)
 
+    # affine=True: CRS point sets satisfy the batch_normalize invariant
+    # (device_setup guarantee); permutation/padding preserve it
     def g1_msm(pts, scalars):
-        return msm_sharded(FQ_OPS, mesh, pts, scalars, axis, window_bits)
+        return msm_sharded(FQ_OPS, mesh, pts, scalars, axis, window_bits,
+                           affine=True)
 
     a_g1 = g1_msm(xi_g1_p, u_std)
     b_g1 = g1_msm(xi_g1_p, v_std)
     h_xt = g1_msm(xi_t_p, h_std)
     c_delta = g1_msm(sum_delta_pad, wit_std)
-    b_g2 = msm_sharded(FQ2_OPS, mesh, xi_g2_p, v_std, axis, window_bits)
+    b_g2 = msm_sharded(FQ2_OPS, mesh, xi_g2_p, v_std, axis, window_bits,
+                       affine=True)
 
     return a_g1, b_g1, b_g2, h_xt, c_delta

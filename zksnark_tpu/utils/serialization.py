@@ -159,15 +159,21 @@ def device_crs_load(path: str):
     from ..curve.jacobian import JPoint
     from ..groth16.prover import DeviceCRS
 
+    from ..curve import jacobian as jac
+    from ..curve.field_ops import FQ2_OPS, FQ_OPS
+
     z = np.load(path)
     sigmag1, sigmag2 = crs_from_json(bytes(z["host_sigma"]).decode())
+
+    # re-establish the DeviceCRS invariant (Z in {0, one}) regardless of
+    # how the checkpoint was produced — the prover's MSMs rely on it
+    def norm(ops, x, y, zz):
+        return jac.batch_normalize(ops, JPoint(
+            jnp.asarray(x), jnp.asarray(y), jnp.asarray(zz)))
+
     return DeviceCRS(
-        xi_g1=JPoint(jnp.asarray(z["xi_g1_x"]), jnp.asarray(z["xi_g1_y"]),
-                     jnp.asarray(z["xi_g1_z"])),
-        xi_t_g1=JPoint(jnp.asarray(z["xi_t_x"]), jnp.asarray(z["xi_t_y"]),
-                       jnp.asarray(z["xi_t_z"])),
-        sum_delta_g1=JPoint(jnp.asarray(z["sd_x"]), jnp.asarray(z["sd_y"]),
-                            jnp.asarray(z["sd_z"])),
-        xi_g2=JPoint(jnp.asarray(z["xi_g2_x"]), jnp.asarray(z["xi_g2_y"]),
-                     jnp.asarray(z["xi_g2_z"])),
+        xi_g1=norm(FQ_OPS, z["xi_g1_x"], z["xi_g1_y"], z["xi_g1_z"]),
+        xi_t_g1=norm(FQ_OPS, z["xi_t_x"], z["xi_t_y"], z["xi_t_z"]),
+        sum_delta_g1=norm(FQ_OPS, z["sd_x"], z["sd_y"], z["sd_z"]),
+        xi_g2=norm(FQ2_OPS, z["xi_g2_x"], z["xi_g2_y"], z["xi_g2_z"]),
         sigmag1=sigmag1, sigmag2=sigmag2)

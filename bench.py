@@ -5,6 +5,19 @@ circuit, on whatever accelerator JAX finds (TPU under the driver).
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "ms", "vs_baseline": N}
 
+Budget-aware and incremental (a hard external timeout must still yield
+numbers):
+- the headline prove measurement runs FIRST; the JSON line is printed
+  (and BENCH_DETAILS.json written) the moment it exists;
+- every later stage (submetrics, warm-setup timing) re-writes
+  BENCH_DETAILS.json as it completes, so a kill mid-run loses only the
+  stages that hadn't finished;
+- a SIGTERM handler prints the best-so-far JSON line before dying (GNU
+  timeout sends TERM first), so even a timed-out run leaves its numbers
+  in the driver's captured output;
+- optional stages are skipped when the BENCH_BUDGET_S budget (wall
+  seconds, default 3300) is nearly exhausted.
+
 The reference (zksnark-rs) publishes no numbers (BASELINE.md), so
 ``vs_baseline`` is the speedup over an explicit cost model of the
 reference's *algorithms* on a fast CPU, documented in `_reference_model_ms`:
@@ -12,11 +25,14 @@ O(n^2) coefficient-domain polynomial arithmetic plus per-coefficient serial
 double-and-add exponentiations through the Rust ``bn`` crate.  The model is
 deliberately generous to the reference (optimistic Rust constants).
 
-Env knobs: BENCH_LOG_N (default 16), BENCH_REPEATS (default 3).
+Env knobs: BENCH_LOG_N (default 16), BENCH_REPEATS (default 2),
+BENCH_BUDGET_S (default 3300), BENCH_WARM_SETUP=1 (also time a second
+setup call).
 """
 
 import json
 import os
+import signal
 import sys
 import time
 
@@ -34,8 +50,38 @@ from zksnark_tpu.frontend.r1cs import R1CS  # noqa: E402
 from zksnark_tpu.groth16 import protocol, prover  # noqa: E402
 from zksnark_tpu.groth16.backend import BN254Backend  # noqa: E402
 
+T_START = time.time()
 LOG_N = int(os.environ.get("BENCH_LOG_N", "16"))
-REPEATS = int(os.environ.get("BENCH_REPEATS", "3"))
+REPEATS = int(os.environ.get("BENCH_REPEATS", "2"))
+BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "3300"))
+
+_details: dict = {"log_n": LOG_N}
+_headline: dict = {}
+
+
+def _remaining() -> float:
+    return BUDGET_S - (time.time() - T_START)
+
+
+def _flush_details():
+    with open("BENCH_DETAILS.json", "w") as f:
+        json.dump(_details, f, indent=2)
+
+
+def _print_headline():
+    if _headline:
+        print(json.dumps(_headline), flush=True)
+
+
+def _on_term(signum, frame):  # pragma: no cover - driver timeout path
+    _details["killed_at_s"] = round(time.time() - T_START, 1)
+    _flush_details()
+    _print_headline()
+    sys.stderr.flush()
+    os._exit(0 if _headline else 1)
+
+
+signal.signal(signal.SIGTERM, _on_term)
 
 
 def synthetic_square_chain(n_gates: int):
@@ -80,138 +126,162 @@ def _reference_model_ms(n_gates: int, num_wires: int) -> float:
     return field_mults * 30e-9 * 1e3 + group_ops * 0.5e-6 * 1e3
 
 
+def _log(msg):
+    print(f"[bench +{time.time() - T_START:.0f}s] {msg}", file=sys.stderr,
+          flush=True)
+
+
+def _submetrics(dqap, dcrs, wit):
+    """MSM Gexp/s + NTT butterflies/s + montmul Mmul/s (BASELINE.md axis
+    2), appended to BENCH_DETAILS.json stage by stage."""
+    import math
+
+    from zksnark_tpu.curve.field_ops import FQ_OPS
+    from zksnark_tpu.field.limb import FR_CTX
+    from zksnark_tpu.ops import montmul as mmod
+    from zksnark_tpu.ops import msm as msmod
+    from zksnark_tpu.ops import ntt as nttmod
+    from zksnark_tpu.ops.montmul import from_mont_auto as from_mont
+
+    n = dqap.n
+    wb = msmod.pick_window_bits(n)
+    wg = msmod.pick_win_group(FQ_OPS, n)  # HBM cap (win_group=0 at
+    # 2^20 would keep 16 full-width window buffers live: ~6.4 GB)
+    scalars = from_mont(
+        FR_CTX, jnp.asarray(FR_CTX.to_mont_np(wit[:n] + [0] * max(
+            0, n - len(wit)))))
+    r = msmod._msm_windowed(FQ_OPS, dcrs.xi_g1, scalars, wb, wg, True)
+    jax.block_until_ready(r.x)  # warm
+    t0 = time.time()
+    r = msmod._msm_windowed(FQ_OPS, dcrs.xi_g1, scalars, wb, wg, True)
+    jax.block_until_ready(r.x)
+    msm_s = time.time() - t0
+    _details["msm_g1_ms"] = round(msm_s * 1e3, 1)
+    _details["msm_gexp_per_s"] = round(n / msm_s)
+    _flush_details()
+    _log(f"msm_g1 {msm_s * 1e3:.0f} ms ({n / msm_s / 1e3:.0f}k Gexp/s)")
+    if _remaining() < 120:
+        return
+
+    a = jnp.asarray(FR_CTX.to_mont_np(wit[:n] + [0] * max(0, n - len(wit))))
+    dom = dqap.domain
+    butterflies = (n // 2) * int(math.log2(n))
+    # both butterfly multiply paths: the auto default (Pallas on TPU)
+    # and the forced XLA limb path (dispatch happens at trace time, so
+    # a fresh jit per setting measures each)
+    saved_force = mmod._FORCE
+    for tag, force in (("", None), ("_xla", "0")):
+        if tag and _remaining() < 120:
+            break
+        mmod._FORCE = force if force is not None else saved_force
+        nt = jax.jit(lambda x, t: nttmod.ntt(dom, x, t))
+        jax.block_until_ready(nt(a, dom.t))
+        t0 = time.time()
+        jax.block_until_ready(nt(a, dom.t))
+        ntt_s = time.time() - t0
+        _details[f"ntt{tag}_ms"] = round(ntt_s * 1e3, 2)
+        _details[f"ntt{tag}_butterflies_per_s"] = round(butterflies / ntt_s)
+        _flush_details()
+        _log(f"ntt{tag} {ntt_s * 1e3:.1f} ms")
+    mmod._FORCE = saved_force
+    _details["ntt_ms"] = _details.get("ntt_ms", _details.get("ntt_xla_ms"))
+
+    # Pallas montmul kernel vs the XLA limb path (real TPU only)
+    if jax.devices()[0].platform != "cpu" and _remaining() > 120:
+        from zksnark_tpu.field.limb import mont_mul
+        from zksnark_tpu.ops.montmul import mont_mul_pallas
+
+        nb = 1 << 16
+        av = jnp.tile(a, (max(1, nb // n), 1))[:nb]
+        xla_mm = jax.jit(lambda x, y: mont_mul(FR_CTX, x, y))
+        pal_mm = jax.jit(lambda x, y: mont_mul_pallas(FR_CTX, x, y))
+        for name, f in (("montmul_xla", xla_mm),
+                        ("montmul_pallas", pal_mm)):
+            jax.block_until_ready(f(av, av))  # warm
+            t0 = time.time()
+            for _ in range(10):
+                out = f(av, av)
+            jax.block_until_ready(out)
+            dt = (time.time() - t0) / 10
+            _details[f"{name}_Mmul_per_s"] = round(nb / dt / 1e6, 1)
+            _flush_details()
+
+
 def main():
     n_gates = (1 << LOG_N) - 1  # leave one slot: domain n = 2^LOG_N
     r1cs, wit = synthetic_square_chain(n_gates)
 
     dqap = prover.compile_r1cs(r1cs)
-    print(f"[bench] devices={jax.devices()} domain n={dqap.n} "
-          f"wires={dqap.num_wires}", file=sys.stderr)
+    _log(f"devices={jax.devices()} domain n={dqap.n} "
+         f"wires={dqap.num_wires}")
 
     t0 = time.time()
     dcrs = prover.device_setup(dqap, trapdoor=(11, 22, 33, 44, 55))
     jax.block_until_ready(dcrs.xi_g1.x)
     t_setup = time.time() - t0
-    print(f"[bench] device_setup {t_setup:.1f}s (incl compile)",
-          file=sys.stderr)
-    t0 = time.time()
-    dcrs = prover.device_setup(dqap, trapdoor=(11, 22, 33, 44, 55))
-    jax.block_until_ready(dcrs.xi_g1.x)
-    t_setup_warm = time.time() - t0
-    print(f"[bench] device_setup warm {t_setup_warm:.1f}s", file=sys.stderr)
+    _details["setup_s"] = round(t_setup, 1)
+    _flush_details()
+    _log(f"device_setup {t_setup:.1f}s (incl compile)")
 
-    # warmup (compile)
+    # prove: warmup (compile) + verify, then timed repeats
     t0 = time.time()
     proof = prover.device_prove(dqap, dcrs, wit, blinding=(7, 9))
     t_warm = time.time() - t0
-    print(f"[bench] prove warmup (incl compile) {t_warm:.1f}s",
-          file=sys.stderr)
+    _details["prove_warmup_s"] = round(t_warm, 1)
+    _flush_details()
+    _log(f"prove warmup (incl compile) {t_warm:.1f}s")
 
     be = BN254Backend()
     ok = protocol.verify(be, (dcrs.sigmag1, dcrs.sigmag2), [wit[1]], proof)
-    print(f"[bench] proof verifies: {ok}", file=sys.stderr)
+    _details["proof_verified"] = bool(ok)
+    _flush_details()
+    _log(f"proof verifies: {ok}")
     if not ok:
         print(json.dumps({"metric": f"groth16_prove_2^{LOG_N}",
                           "value": -1, "unit": "ms", "vs_baseline": 0.0,
                           "error": "proof failed verification"}))
         return
 
-    best = float("inf")
+    best = t_warm
     for _ in range(REPEATS):
+        if best < t_warm and _remaining() < 1.5 * best:
+            break
         t0 = time.time()
         prover.device_prove(dqap, dcrs, wit, blinding=(7, 9))
         best = min(best, time.time() - t0)
     ms = best * 1e3
 
-    # submetrics per BASELINE.md: MSM Gexp/s and NTT butterflies/s
-    details = {"prove_ms": round(ms, 1), "setup_s": round(t_setup, 1),
-               "setup_warm_s": round(t_setup_warm, 1),
-               "warmup_s": round(t_warm, 1), "log_n": LOG_N,
-               "devices": str(jax.devices())}
-    try:
-        import jax.numpy as jnp
-
-        from zksnark_tpu.curve.field_ops import FQ_OPS
-        from zksnark_tpu.field.limb import FR_CTX
-        from zksnark_tpu.ops.montmul import from_mont_auto as from_mont
-        from zksnark_tpu.ops import msm as msmod
-        from zksnark_tpu.ops import ntt as nttmod
-
-        n = dqap.n
-        wb = msmod.pick_window_bits(n)
-        wg = msmod.pick_win_group(FQ_OPS, n)  # HBM cap (win_group=0 at
-        # 2^20 would keep 16 full-width window buffers live: ~6.4 GB)
-        scalars = from_mont(
-            FR_CTX, jnp.asarray(FR_CTX.to_mont_np(wit[:n] + [0] * max(
-                0, n - len(wit)))))
-        r = msmod._msm_windowed(FQ_OPS, dcrs.xi_g1, scalars, wb, wg, True)
-        jax.block_until_ready(r.x)  # warm
-        t0 = time.time()
-        r = msmod._msm_windowed(FQ_OPS, dcrs.xi_g1, scalars, wb, wg, True)
-        jax.block_until_ready(r.x)
-        msm_s = time.time() - t0
-        details["msm_g1_ms"] = round(msm_s * 1e3, 1)
-        details["msm_gexp_per_s"] = round(n / msm_s)
-
-        a = jnp.asarray(FR_CTX.to_mont_np(wit[:n] + [0] * max(
-            0, n - len(wit))))
-        dom = dqap.domain
-        import math
-
-        from zksnark_tpu.ops import montmul as mmod
-
-        butterflies = (n // 2) * int(math.log2(n))
-        # both butterfly multiply paths: the auto default (Pallas on TPU)
-        # and the forced XLA limb path (dispatch happens at trace time, so
-        # a fresh jit per setting measures each)
-        saved_force = mmod._FORCE
-        for tag, force in (("", None), ("_xla", "0")):
-            mmod._FORCE = force if force is not None else saved_force
-            nt = jax.jit(lambda x, t: nttmod.ntt(dom, x, t))
-            jax.block_until_ready(nt(a, dom.t))
-            t0 = time.time()
-            jax.block_until_ready(nt(a, dom.t))
-            ntt_s = time.time() - t0
-            details[f"ntt{tag}_ms"] = round(ntt_s * 1e3, 2)
-            details[f"ntt{tag}_butterflies_per_s"] = round(
-                butterflies / ntt_s)
-        mmod._FORCE = saved_force
-        details["ntt_ms"] = details.get("ntt_ms", details["ntt_xla_ms"])
-
-        # Pallas montmul kernel vs the XLA limb path (real TPU only)
-        if jax.devices()[0].platform != "cpu":
-            from zksnark_tpu.field.limb import mont_mul
-            from zksnark_tpu.ops.montmul import mont_mul_pallas
-
-            nb = 1 << 16
-            av = jnp.tile(a, (max(1, nb // n), 1))[:nb]
-            xla_mm = jax.jit(lambda x, y: mont_mul(FR_CTX, x, y))
-            pal_mm = jax.jit(lambda x, y: mont_mul_pallas(FR_CTX, x, y))
-            for name, f in (("montmul_xla", xla_mm),
-                            ("montmul_pallas", pal_mm)):
-                jax.block_until_ready(f(av, av))  # warm
-                t0 = time.time()
-                for _ in range(10):
-                    out = f(av, av)
-                jax.block_until_ready(out)
-                dt = (time.time() - t0) / 10
-                details[f"{name}_Mmul_per_s"] = round(nb / dt / 1e6, 1)
-    except Exception as e:  # pragma: no cover
-        details["submetric_error"] = repr(e)
-
-    with open("BENCH_DETAILS.json", "w") as f:
-        json.dump(details, f, indent=2)
-    print(f"[bench] details: {details}", file=sys.stderr)
-
+    # ---- headline exists: print it NOW (everything later is optional)
     ref_ms = _reference_model_ms(n_gates, dqap.num_wires)
-    print(f"[bench] prove {ms:.0f} ms; reference model {ref_ms:.0f} ms",
-          file=sys.stderr)
-    print(json.dumps({
+    _headline.update({
         "metric": f"groth16_prove_2^{LOG_N}",
         "value": round(ms, 1),
         "unit": "ms",
         "vs_baseline": round(ref_ms / ms, 2),
-    }))
+    })
+    _details["prove_ms"] = round(ms, 1)
+    _details["devices"] = str(jax.devices())
+    _details["vs_reference_model"] = round(ref_ms / ms, 2)
+    _flush_details()
+    _log(f"prove {ms:.0f} ms; reference model {ref_ms:.0f} ms")
+    _print_headline()
+
+    try:
+        if _remaining() > 120:
+            _submetrics(dqap, dcrs, wit)
+    except Exception as e:  # pragma: no cover
+        _details["submetric_error"] = repr(e)
+
+    if os.environ.get("BENCH_WARM_SETUP") and _remaining() > 2 * t_setup:
+        t0 = time.time()
+        dcrs2 = prover.device_setup(dqap, trapdoor=(11, 22, 33, 44, 55))
+        jax.block_until_ready(dcrs2.xi_g1.x)
+        _details["setup_warm_s"] = round(time.time() - t0, 1)
+        _log(f"device_setup warm {_details['setup_warm_s']}s")
+
+    _details["total_s"] = round(time.time() - T_START, 1)
+    _flush_details()
+    _log(f"details: {_details}")
 
 
 if __name__ == "__main__":

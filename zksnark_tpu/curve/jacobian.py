@@ -15,8 +15,10 @@ Formulas: EFD dbl-2009-l and add-2007-bl (a = 0 curves).
 
 from __future__ import annotations
 
+from functools import partial
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 
@@ -55,7 +57,16 @@ def _batch_size(p: JPoint, elem_ndim: int) -> int:
     return n
 
 
-_PALLAS_MIN = 256  # below this, wrapper/pad overhead beats the fused kernel
+# Dispatch floor for the fused Pallas kernels.  1: on TPU backends EVERY
+# point op routes to Mosaic, including single-point ops (MSM Horner tail,
+# Abel doubling chains).  Mosaic compiles a point kernel in ~3 s; the
+# straight-line XLA fallback inlines ~25k (G1) / ~77k (G2) optimized HLO
+# lines per call site, and the axon remote XLA endpoint compiles such
+# graphs at ~100 s per montmul-sized body — a single sub-256-batch chain
+# of 13 doublings costs an HOUR of XLA compile vs seconds of Mosaic.
+# Runtime cost of padding a 1-point op to one (8, 128) tile is one VPU
+# pass (~us) — irrelevant next to the compile economics.
+_PALLAS_MIN = 1
 
 
 def double(ops, p: JPoint) -> JPoint:
@@ -206,7 +217,13 @@ def batch_normalize(ops, p: JPoint) -> JPoint:
     field inversion: Montgomery's trick as two device prefix-product
     scans plus a single host inverse.  Establishes the precondition for
     `madd` — the prover normalizes every CRS point set once at setup so
-    each MSM's million point-adds run the cheap mixed formulas."""
+    each MSM's million point-adds run the cheap mixed formulas.
+
+    NOT jit-safe: the single inversion is a HOST round-trip
+    (np.asarray on the grand product + python pow), so calling this
+    under jax.jit raises TracerArrayConversionError by design — it runs
+    eagerly between jitted stages (setup, checkpoint load) where the
+    one blocking sync is amortized over the whole point set."""
     import numpy as np
 
     batch_shape = p.z.shape[:p.z.ndim - ops.elem_ndim]
@@ -215,35 +232,61 @@ def batch_normalize(ops, p: JPoint) -> JPoint:
         n *= s
     flat = JPoint(*(a.reshape((n,) + a.shape[len(batch_shape):])
                     for a in p))
-    inf = ops.is_zero(flat.z)
-    z = ops.select(inf, jnp.broadcast_to(ops.one(), flat.z.shape), flat.z)
-
-    pre = _prefix_prod(ops, z)                       # P_i = z_0 .. z_i
-    suf = _prefix_prod(ops, jnp.flip(z, 0))[::-1]    # S_i = z_i .. z_{n-1}
-    total = pre[-1]
+    # stage 1 (jitted: one dispatch instead of ~100 eager ops — eager
+    # dispatch through a remote-TPU tunnel costs an RPC round-trip each)
+    inf, z, pre, suf, total = _bn_scan(ops, flat.z)
 
     # single host inversion of the grand product
     q = ops.ctx.p
     t = ops.from_mont_np(np.asarray(total))
-    if ops.elem_ndim == 1:
-        tinv = pow(int(t), -1, q)
-    else:
-        t0, t1 = int(t[0]), int(t[1])
-        ni = pow((t0 * t0 + t1 * t1) % q, -1, q)
-        tinv = (t0 * ni % q, (-t1) * ni % q)
+    try:
+        if ops.elem_ndim == 1:
+            tinv = pow(int(t), -1, q)
+        else:
+            t0, t1 = int(t[0]), int(t[1])
+            ni = pow((t0 * t0 + t1 * t1) % q, -1, q)
+            tinv = (t0 * ni % q, (-t1) * ni % q)
+    except ValueError as e:
+        # a non-canonical zero encoding (digits != 0 but value = 0 mod p)
+        # passes the exact-digit is_zero screen above and zeroes the
+        # grand product — possible only with a corrupt/malformed input
+        raise ValueError(
+            "batch_normalize: grand Z-product is 0 mod p — some point "
+            "has a malformed Z encoding (Z = 0 mod p but nonzero "
+            "digits), e.g. from a corrupt checkpoint") from e
     tinv_m = jnp.asarray(ops.to_mont_np([tinv])[0])
 
-    one = jnp.broadcast_to(ops.one(), z.shape)
+    # stage 2 (jitted)
+    x, y, zz = _bn_apply(ops, flat.x, flat.y, inf, pre, suf, tinv_m)
+    return JPoint(*(a.reshape(batch_shape + a.shape[1:])
+                    for a in JPoint(x, y, zz)))
+
+
+@partial(jax.jit, static_argnums=0)
+def _bn_scan(ops, flat_z):
+    """batch_normalize stage 1: infinity mask + prefix/suffix Z products
+    + grand total, in one compiled dispatch."""
+    inf = ops.is_zero(flat_z)
+    z = ops.select(inf, jnp.broadcast_to(ops.one(), flat_z.shape), flat_z)
+    pre = _prefix_prod(ops, z)                       # P_i = z_0 .. z_i
+    suf = _prefix_prod(ops, jnp.flip(z, 0))[::-1]    # S_i = z_i .. z_{n-1}
+    return inf, z, pre, suf, pre[-1]
+
+
+@partial(jax.jit, static_argnums=0)
+def _bn_apply(ops, flat_x, flat_y, inf, pre, suf, tinv_m):
+    """batch_normalize stage 2: per-element Z^-1 from the prefix/suffix
+    products and the host-inverted grand total, then affine X, Y."""
+    one = jnp.broadcast_to(ops.one(), pre.shape)
     pre_ex = jnp.concatenate([one[:1], pre[:-1]])    # prod_{j<i} z_j
     suf_ex = jnp.concatenate([suf[1:], one[:1]])     # prod_{j>i} z_j
     zinv = _fast_mul(ops, _fast_mul(ops, pre_ex, suf_ex), tinv_m[None])
     zi2 = _fast_mul(ops, zinv, zinv)
     zi3 = _fast_mul(ops, zi2, zinv)
-    x = ops.select(inf, one, _fast_mul(ops, flat.x, zi2))
-    y = ops.select(inf, one, _fast_mul(ops, flat.y, zi3))
+    x = ops.select(inf, one, _fast_mul(ops, flat_x, zi2))
+    y = ops.select(inf, one, _fast_mul(ops, flat_y, zi3))
     zz = ops.select(inf, jnp.zeros_like(one), one)
-    return JPoint(*(a.reshape(batch_shape + a.shape[1:])
-                    for a in JPoint(x, y, zz)))
+    return x, y, zz
 
 
 def to_affine_np(ops, p: JPoint):

@@ -149,7 +149,12 @@ def mont_mul_pallas(ctx: MontCtx, a: jnp.ndarray, b: jnp.ndarray,
 import os as _os
 
 _FORCE = _os.environ.get("ZK_NTT_PALLAS")
-_MIN_BATCH = 256  # below this, pad/transpose overhead beats the kernel
+# Dispatch floor for the Pallas montmul kernel.  1: on TPU every field
+# multiply goes to Mosaic — the XLA limb fallback costs ~100 s of remote
+# compile per distinct call-site shape (measured: one fresh 2^10 montmul
+# graph = 125 s on the axon endpoint) vs ~3 s for the Mosaic kernel, and
+# the padded-tile runtime overhead for small batches is microseconds.
+_MIN_BATCH = 1
 
 
 def enabled() -> bool:

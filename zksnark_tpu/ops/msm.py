@@ -27,8 +27,9 @@ problem size):
   (E_top is just the window's total point sum; 2^c * x is c doublings);
 - the windows run under one ``lax.scan``; the cross-window Horner tail
   is another scan with a fori-doubling body;
-- `msm_stack` runs a whole batch of same-shape MSM instances under one
-  more ``lax.scan``, so the prover's four G1 MSMs cost ONE compile.
+- the prover's four G1 MSMs are padded to a common size so they share
+  ONE compiled `_msm_windowed` kernel by shape (groth16/prover.py
+  `_pad_msm`) — same-compile sharing without an extra stacking scan.
 
 All scalars are STANDARD-form (non-Montgomery) 32x8-bit digit vectors in
 f32; points are batched Jacobian pytrees (`curve.jacobian.JPoint`).  The
@@ -281,9 +282,12 @@ def _bucket_window_sorted(ops, pts: JPoint, order: jnp.ndarray,
     ends = jac.add(ops, ends_c, ends_w)
     filled = _prefix_scan(ops, ends, combine=_keep_last(ops))
 
-    # Abel: sum_j j*B_j = num_buckets * E_top - sum_j E_j; the last fill
-    # value IS the global total (the final position always ends its run)
-    e_top = _last(filled)
+    # Abel: sum_j j*B_j = num_buckets * E_top - sum_j E_j.  E_top is the
+    # global point total, computed EXACTLY as last-chunk-carry + last
+    # chunk total — not read from the keep-last fill, whose
+    # infinity-as-empty sentinel would mis-fill if a run-end prefix is
+    # legitimately the point at infinity (a cancelling point set).
+    e_top = jac.add(ops, _last(carry), _last(totals))
     lhs = _double_n(ops, e_top, num_buckets.bit_length() - 1)
     rhs = tree_sum(ops, filled)
     return jac.add(ops, lhs, jac.neg(ops, rhs))
@@ -390,27 +394,6 @@ def msm(ops, pts: JPoint, scalar_limbs: jnp.ndarray,
         win_group = pick_win_group(ops, m)
     return _msm_windowed(ops, pts, scalar_limbs, window_bits, win_group,
                          affine)
-
-
-@partial(jax.jit, static_argnums=(0, 3, 4, 5))
-def msm_stack(ops, pts: JPoint, scalar_limbs: jnp.ndarray,
-              window_bits: int, win_group: int = 0,
-              affine: bool = False) -> JPoint:
-    """A batch of m same-size MSM instances under ONE lax.scan: the full
-    Pippenger graph is compiled once, not m times (the prover's four G1
-    MSMs share this kernel).
-
-    pts: JPoint with leading (m, N) axes; scalar_limbs: (m, N, L).
-    Returns a JPoint batch of m sums."""
-
-    def body(_, xs):
-        px, py, pz, s = xs
-        return None, tuple(_msm_impl(ops, JPoint(px, py, pz), s,
-                                     window_bits, win_group, affine))
-
-    _, outs = jax.lax.scan(
-        body, None, (pts.x, pts.y, pts.z, scalar_limbs))
-    return JPoint(*outs)
 
 
 @partial(jax.jit, static_argnums=0)

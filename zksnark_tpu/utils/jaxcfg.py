@@ -19,8 +19,9 @@ def setup_cache(cache_dir: str | None = None) -> None:
     import jax
 
     if cache_dir is None:
-        cache_dir = os.path.join(os.path.dirname(os.path.dirname(
-            os.path.dirname(os.path.abspath(__file__)))), ".jax_cache")
+        cache_dir = os.environ.get("ZKSNARK_TPU_CACHE_DIR") or os.path.join(
+            os.path.dirname(os.path.dirname(
+                os.path.dirname(os.path.abspath(__file__)))), ".jax_cache")
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)

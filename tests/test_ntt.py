@@ -80,3 +80,24 @@ def test_divide_by_vanishing_matches_long_division():
     assert all(c == 0 for c in r)
     expect = q + [0] * (n - len(q))
     assert h_got == expect[:n]
+
+
+def test_unrolled_butterflies_bit_identical():
+    """The TPU-default unrolled butterfly path (reshape/slice stages,
+    ops/ntt.py:_butterflies_unrolled) is bit-identical to the scan body
+    it replaces, forward and inverse, across domain sizes."""
+    import numpy as np
+
+    from zksnark_tpu.ops.ntt import (
+        _bitrev_take, _butterflies, _butterflies_unrolled,
+    )
+
+    for log_n in (1, 3, 6):
+        dom = nttmod.get_domain(log_n)
+        vals = [rng.randrange(P) for _ in range(dom.n)]
+        a = _to_mont(vals)
+        for table in (dom.t.tw_table, dom.t.tw_table_inv):
+            x = _bitrev_take(log_n, a)
+            got = np.asarray(_butterflies_unrolled(dom.ctx, log_n, table, x))
+            want = np.asarray(_butterflies(dom.ctx, log_n, table, x))
+            assert (got == want).all(), log_n

@@ -85,12 +85,12 @@ def test_msm_sharded_matches_single_wb8(mesh):
 
 
 def test_ntt_sharded_matches_single(mesh):
-    sd = nsh.ShardedDomain(3, 3)  # n = 64
+    sd = nsh.ShardedDomain(2, 2)  # n = 16 (= N_DEV^2, the four-step floor)
     coeffs = [rng.randrange(FR.p) for _ in range(sd.n)]
     a = jnp.asarray(FR_CTX.to_mont_np(coeffs))
 
     expect = FR_CTX.from_mont_np(
-        np.asarray(nttmod.ntt(nttmod.get_domain(6), a)))
+        np.asarray(nttmod.ntt(nttmod.get_domain(4), a)))
 
     m = nsh.from_coeffs(sd, a)
     c = nsh.ntt_sharded(mesh, sd, m)
@@ -99,7 +99,7 @@ def test_ntt_sharded_matches_single(mesh):
 
 
 def test_intt_sharded_roundtrip(mesh):
-    sd = nsh.ShardedDomain(3, 3)
+    sd = nsh.ShardedDomain(2, 2)  # n = 16
     coeffs = [rng.randrange(FR.p) for _ in range(sd.n)]
     a = jnp.asarray(FR_CTX.to_mont_np(coeffs))
     m = nsh.from_coeffs(sd, a)

@@ -207,13 +207,18 @@ def _take_points(pts: JPoint, idx) -> JPoint:
                   jnp.take(pts.z, idx, axis=0))
 
 
-def _digit_columns(scalar_limbs: jnp.ndarray, c: int) -> jnp.ndarray:
+def _digit_columns(scalar_limbs: jnp.ndarray, c: int,
+                   scalar_bits: int = 0) -> jnp.ndarray:
     """(N, L) 8-bit digit scalars -> (n_windows, N) c-bit window columns
     (LSB window first).  Window w covers scalar bits [w*c, (w+1)*c);
     windows may straddle digit boundaries (multi-digit shift-or; only
-    cheap integer shift/or ops — no integer multiplies)."""
+    cheap integer shift/or ops — no integer multiplies).
+
+    scalar_bits > 0 statically bounds the scalars: windows above the
+    bound are all-zero and skipped entirely (small-exponent workloads —
+    bit-validity scalars, bucketed digits — pay for the bits they use)."""
     lb = params.LIMB_BITS
-    n_bits = lb * L
+    n_bits = min(scalar_bits, lb * L) if scalar_bits > 0 else lb * L
     n_win = -(-n_bits // c)
     mask = jnp.uint32((1 << c) - 1)
     ints = scalar_limbs.astype(jnp.uint32)
@@ -295,8 +300,9 @@ def _bucket_window_sorted(ops, pts: JPoint, order: jnp.ndarray,
 
 def _msm_impl(ops, pts: JPoint, scalar_limbs: jnp.ndarray,
               window_bits: int, win_group: int = 0,
-              affine: bool = False) -> JPoint:
-    digit_cols = _digit_columns(scalar_limbs, window_bits)  # (n_win, N)
+              affine: bool = False, scalar_bits: int = 0) -> JPoint:
+    digit_cols = _digit_columns(scalar_limbs, window_bits,
+                                scalar_bits)  # (n_win, N)
     n_win = digit_cols.shape[0]
     # ONE batched sort for all windows (axis-1 comparator network)
     order = jnp.argsort(digit_cols, axis=1).astype(jnp.int32)
@@ -346,11 +352,12 @@ def _msm_impl(ops, pts: JPoint, scalar_limbs: jnp.ndarray,
     return acc
 
 
-@partial(jax.jit, static_argnums=(0, 3, 4, 5))
+@partial(jax.jit, static_argnums=(0, 3, 4, 5, 6))
 def _msm_windowed(ops, pts: JPoint, scalar_limbs: jnp.ndarray,
                   window_bits: int, win_group: int = 0,
-                  affine: bool = False) -> JPoint:
-    return _msm_impl(ops, pts, scalar_limbs, window_bits, win_group, affine)
+                  affine: bool = False, scalar_bits: int = 0) -> JPoint:
+    return _msm_impl(ops, pts, scalar_limbs, window_bits, win_group, affine,
+                     scalar_bits)
 
 
 def pick_win_group(ops, n: int) -> int:
@@ -371,7 +378,7 @@ def pick_window_bits(n: int) -> int:
 
 def msm(ops, pts: JPoint, scalar_limbs: jnp.ndarray,
         window_bits: int = 0, win_group: int = -1,
-        affine: bool = False) -> JPoint:
+        affine: bool = False, scalar_bits: int = 0) -> JPoint:
     """Pippenger MSM: returns the single point sum_i s_i * P_i.
 
     pts: JPoint batch of N points; scalar_limbs: (N, L) standard form.
@@ -393,7 +400,7 @@ def msm(ops, pts: JPoint, scalar_limbs: jnp.ndarray,
     if win_group < 0:
         win_group = pick_win_group(ops, m)
     return _msm_windowed(ops, pts, scalar_limbs, window_bits, win_group,
-                         affine)
+                         affine, scalar_bits)
 
 
 @partial(jax.jit, static_argnums=0)

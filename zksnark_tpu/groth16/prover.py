@@ -480,7 +480,11 @@ def device_prove(
     r, s = (b % f for b in blinding)
 
     w_full = list(weights) + [0] * (dqap.num_wires - len(weights))
-    weights_mont = jnp.asarray(FR_CTX.to_mont_np(w_full))
+    # standard-form digits on host (bytes codec), Montgomery scaling on
+    # device (one montmul by R^2): the host python `(x << 256) % p` per
+    # wire was ~3 s of the 2^20 prove
+    w_std = jnp.asarray(FR_CTX.to_limbs_np(w_full))
+    weights_mont = mont_mul(FR_CTX, w_std, FR_CTX.r2_limbs)
 
     crs_arrays = (crs.xi_g1, crs.xi_t_g1, crs.sum_delta_g1, crs.xi_g2)
     ell_arrays = ((dqap.u.idx, dqap.u.val), (dqap.v.idx, dqap.v.val),

@@ -26,19 +26,6 @@ rng = random.Random(123)
 
 N_DEV = 4  # use 4 of the 8 virtual devices (divides all test sizes)
 
-# The shard_map MSM / prove-step graphs take many minutes to compile on a
-# small host; they are gated behind ZK_SLOW_TESTS=1 (run at least once per
-# repo lifetime to validate + warm the cache).  The four-step NTT tests are
-# cheap and always on.
-import os  # noqa: E402
-
-# Sharded tests run by default with wb=4 (16 buckets) to keep the
-# shard_map graphs small enough for a cold 2-CPU host; ZK_SLOW_TESTS=1
-# additionally runs the wb=8 variants (run at least once per repo
-# lifetime to validate + warm the cache).
-slow = pytest.mark.skipif(
-    os.environ.get("ZK_SLOW_TESTS") != "1",
-    reason="set ZK_SLOW_TESTS=1 for the compile-heavy wide-window variants")
 
 
 @pytest.fixture(scope="module")
@@ -66,8 +53,10 @@ def test_msm_sharded_matches_single(mesh):
     assert sharded == single
 
 
-@slow
 def test_msm_sharded_matches_single_wb8(mesh):
+    # production window size (8); ~2.5 min cold on a 2-CPU host, cheap
+    # warm — default-on so the wide-window sharded path has standing
+    # correctness evidence (round-3 review item)
     n = 32
     ks = [rng.randrange(1, R) for _ in range(n)]
     pts_host = [hc.g1_scalar_mul(hc.G1_GEN_PT, k) for k in ks]

@@ -320,11 +320,25 @@ def device_setup(
     alpha, beta, gamma, delta, x = (t % f for t in trapdoor)
     n = dqap.n
 
-    # xi = x^0 .. x^{n-1} (host pow table; O(n) bigint mults)
-    xi = [1] * n
-    for i in range(1, n):
-        xi[i] = xi[i - 1] * x % f
-    xi_mont = jnp.asarray(FR_CTX.to_mont_np(xi))
+    # xi = x^0 .. x^{n-1} as an outer Montgomery product of two host
+    # power chains of length ~sqrt(n): xi[a*k + b] = (x^k)^a * x^b.
+    # Replaces O(n) host bigint mults + an O(n) host Montgomery codec
+    # (~11 s at 2^20) with O(sqrt n) host work and one device montmul;
+    # bit-exact because REDC returns canonical digits.
+    k = 1 << (n.bit_length() // 2)       # k | n (n is a power of two)
+    k = min(k, n)
+    m = n // k
+    lo = [1] * k
+    for i in range(1, k):
+        lo[i] = lo[i - 1] * x % f
+    xk = lo[-1] * x % f                  # x^k
+    hi = [1] * m
+    for i in range(1, m):
+        hi[i] = hi[i - 1] * xk % f
+    lo_m = jnp.asarray(FR_CTX.to_mont_np(lo))
+    hi_m = jnp.asarray(FR_CTX.to_mont_np(hi))
+    xi_mont = mont_mul(FR_CTX, hi_m[:, None, :],
+                       lo_m[None, :, :]).reshape(n, L)
 
     t_x = (pow(x, n, f) - 1) % f
     gamma_inv = pow(gamma, -1, f)

@@ -23,21 +23,24 @@ rng = random.Random(99)
 
 
 def _core_op(ops, fn, *pts):
-    """Run an _add_core/_double_core on JPoints via the lane-major codec."""
-    cpal._bind_kernel_consts()  # the pallas_call entry points do this
+    """Run an _add_core/_double_core on JPoints via the digit-major codec."""
+    from zksnark_tpu.field.limb import FQ_CTX
+    from zksnark_tpu.ops import fieldcore as fc
+
     nr = cpal._nrows(ops)
-    K = cpal._KFq if nr == cpal.L else cpal._KFq2
-    rows = []
+    cc = fc.make_consts(FQ_CTX)
+    K = cpal._KFq(cc) if nr == cpal.L else cpal._KFq2(cc)
+    args = []
     meta = None
     for p in pts:
         for arr in (p.x, p.y, p.z):
             lm, bs, n = cpal._to_lane_major(arr, nr)
-            rows.append([lm[k] for k in range(nr)])
-            meta = (bs, n)
-    outs = fn(K, *rows)
+            args.append(lm.T)            # kernels transpose in VMEM;
+            meta = (bs, n)               # here we do it at the boundary
+    outs = fn(K, *args)
     bs, n = meta
     return jac.JPoint(*[
-        cpal._from_lane_major(jnp.stack(o), nr, bs, n) for o in outs])
+        cpal._from_lane_major(o.T, nr, bs, n) for o in outs])
 
 
 def _g1_points(ks):

@@ -173,3 +173,61 @@ def test_g2_batch_normalize():
     norm = jac.batch_normalize(FQ2_OPS, proj)
     assert (jac.to_affine_np(FQ2_OPS, norm)
             == jac.to_affine_np(FQ2_OPS, proj)).all()
+
+
+def test_msm_adversarial_cancelling_buckets():
+    """Point sets engineered so whole buckets (and run-end prefixes) sum
+    to EXACTLY the point at infinity — the case the Abel forward-fill
+    must survive (ops/msm.py validity-flag fill): a keep-last fill keyed
+    on the infinity sentinel would inherit the previous bucket here."""
+    # 8 pairs (P, -P) sharing one digit value per pair: every bucket sum
+    # is infinity, so the MSM total is infinity.
+    ks = [rng.randrange(1, R) for _ in range(8)]
+    _, P = _g1_batch(ks)
+    negP = jac.neg(FQ_OPS, P)
+    pts = jac.JPoint(jnp.concatenate([P.x, negP.x]),
+                     jnp.concatenate([P.y, negP.y]),
+                     jnp.concatenate([P.z, negP.z]))
+    s_vals = [3, 3, 7, 7, 11, 11, 200, 200]      # same digit per pair
+    scalars = jnp.asarray(FR_CTX.to_limbs_np(s_vals + s_vals))
+    out = msmod.msm(FQ_OPS, pts, scalars, window_bits=8)
+    assert jac.to_affine_np(FQ_OPS, out) is None
+
+    # one CANCELLING bucket in the middle of populated ones: buckets
+    # 3 (cancelling), 5 and 9 (real).  E_3 fill must not leak into E_4.
+    ks2 = [rng.randrange(1, R) for _ in range(6)]
+    host2, P2 = _g1_batch(ks2)
+    negP2 = jac.neg(FQ_OPS, jac.JPoint(P2.x[:2], P2.y[:2], P2.z[:2]))
+    pts2 = jac.JPoint(jnp.concatenate([P2.x[:2], negP2.x, P2.x[2:]]),
+                      jnp.concatenate([P2.y[:2], negP2.y, P2.y[2:]]),
+                      jnp.concatenate([P2.z[:2], negP2.z, P2.z[2:]]))
+    s2 = [3, 3, 3, 3, 5, 5, 9, 9]
+    slimbs2 = jnp.asarray(FR_CTX.to_limbs_np(s2))
+    got = jac.to_affine_np(FQ_OPS, msmod.msm(FQ_OPS, pts2, slimbs2,
+                                             window_bits=8))
+    want = jac.to_affine_np(
+        FQ_OPS, msmod.msm_naive(FQ_OPS, pts2, slimbs2))
+    assert got == want
+
+
+def test_msm_adversarial_all_equal_and_top_scalar():
+    """All points equal (single giant bucket run), scalar = r-1 (every
+    window at its max digit), and a single point whose only nonzero
+    digit sits in the TOP window."""
+    _, P1 = _g1_batch([12345])
+    n = 16
+    pts = jac.JPoint(jnp.tile(P1.x, (n, 1)), jnp.tile(P1.y, (n, 1)),
+                     jnp.tile(P1.z, (n, 1)))
+    scalars = jnp.asarray(FR_CTX.to_limbs_np([R - 1] * n))
+    got = jac.to_affine_np(FQ_OPS, msmod.msm(FQ_OPS, pts, scalars))
+    assert got == hc.g1_scalar_mul(hc.G1_GEN_PT, 12345 * (n * (R - 1)) % R)
+
+    # single nonzero bucket in the top window (scalar = digit << 248)
+    top = 177 << 248
+    ks = [rng.randrange(1, R) for _ in range(4)]
+    host, P = _g1_batch(ks)
+    svals = [top % R, 0, 0, 0]
+    slimbs = jnp.asarray(FR_CTX.to_limbs_np(svals))
+    got = jac.to_affine_np(FQ_OPS, msmod.msm(FQ_OPS, P, slimbs,
+                                             window_bits=8))
+    assert got == hc.g1_scalar_mul(hc.G1_GEN_PT, ks[0] * (top % R) % R)

@@ -133,10 +133,18 @@ def test_two_process_cluster():
     coordinator, two processes x 4 virtual devices, one global mesh,
     cross-process psum + a sharded Montgomery multiply fed via
     make_array_from_process_local_data."""
+    import socket
+
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     env = dict(os.environ)
     env.pop("PALLAS_AXON_POOL_IPS", None)  # keep the TPU tunnel out
-    prog = _PROG2 % {"repo": repo, "port": 45733}
+    # ephemeral coordinator port: a hard-coded one collides with stale
+    # listeners or a concurrent checkout running this suite, and
+    # jax.distributed init then hangs to the 300 s timeout
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    prog = _PROG2 % {"repo": repo, "port": port}
     procs = [subprocess.Popen(
         [sys.executable, "-c", prog, str(pid)],
         stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True, env=env)

@@ -5,13 +5,16 @@ each multiply is its own fused-op cluster with HBM round-trips between
 clusters and a giant HLO graph (minutes of compile per MSM).  These
 kernels run the ENTIRE add/double formula in VMEM:
 
-- layout: digits on sublanes, batch on (8, 128) f32 registers — each
-  digit row of a tile is exactly one full VPU register, so every f32 op
-  runs at full vector width;
-- field ops are the same separated-SOS Montgomery pipeline as
-  `field.limb` / `ops.montmul` (8-bit digits in f32, exact by
-  construction), with sequential exact carry ripples (cheap: the batch
-  axis is the vector axis);
+- layout: digit-major 2D tiles — digit rows on the sublane axis, batch
+  on the lane axis ((L, TILE) f32 for Fq, (2L, TILE) for Fq2, both
+  hardware-aligned: sublanes multiple of 8, lanes multiple of 128);
+- field ops are the `ops.fieldcore` Montgomery pipeline: the two
+  fixed-operand convolution passes run on the MXU as banded-Toeplitz
+  matmuls, carries resolve via parallel folds + a Kogge-Stone prefix
+  (no serial ripple — the round-4 bottleneck), everything exact f32;
+- per-modulus constant matrices cannot be captured by Pallas kernels as
+  array literals, so they enter as ONE extra (3L, 128) input ref
+  (`fieldcore.pack_consts_np`) shared by every grid step;
 - the complete-add edge cases (P=inf, Q=inf, P=Q, P=-Q) are resolved
   with per-lane masks inside the kernel, mirroring `curve.jacobian.add`;
 - Fq2 (G2) elements stack their two components on the digit axis
@@ -32,181 +35,98 @@ import jax.numpy as jnp
 
 from ..field import params
 from ..field.limb import FQ_CTX
+from . import fieldcore as fc
 
 L = params.NUM_LIMBS                 # 32 digits
-BASE = float(1 << params.LIMB_BITS)  # 256.0
-INV_BASE = 1.0 / BASE
-SUB = 8                              # sublanes per digit row
-LANE = 128
-TILE = SUB * LANE                    # 1024 batch elements per instance
-
-_P = [float(x) for x in params.to_limbs(FQ_CTX.p)]
-_NP = [float(x) for x in params.to_limbs(FQ_CTX.nprime_int)]
-_PC = [float(x) for x in params.to_limbs((1 << 256) - FQ_CTX.p)]
-
-# Pallas kernels may not capture array constants (only scalar literals are
-# inlined into the kernel jaxpr), so the (L, 1, 1) digit-row constants for
-# the in-kernel convolutions are BUILT INSIDE the kernel from scalar
-# literals — once per kernel trace, stashed in `_KC` by the kernel entry
-# points (tracing is single-threaded, and each pallas_call re-traces).
-_KC: dict = {}
-
-
-def _const_rows(vals) -> jnp.ndarray:
-    """(len(vals), SUB, LANE) f32 digit rows from python floats, as traced
-    ops (scalar splats + one concat), never a jaxpr const.  Full tiles:
-    Mosaic cannot broadcast a (1, 1) minor tile in both sublanes and
-    lanes, but a scalar splat is free."""
-    return jnp.concatenate(
-        [jnp.full((1, SUB, LANE), v, jnp.float32) for v in vals], axis=0)
-
-
-def _bind_kernel_consts():
-    _KC["p"] = _const_rows(_P)
-    _KC["np"] = _const_rows(_NP)
+TILE = 512                           # batch elements per kernel instance
 
 
 # ---------------------------------------------------------------------------
-# in-kernel field helpers: an Fq value is a list of L (SUB, LANE) f32 rows
-# ---------------------------------------------------------------------------
-
-def _ripple(digits, start=None):
-    out = []
-    carry = start
-    for v in digits:
-        if carry is not None:
-            v = v + carry
-        carry = jnp.floor(v * INV_BASE)
-        out.append(v - carry * BASE)
-    return out, carry
-
-
-def _conv_arr(a_arr: jnp.ndarray, b_arr: jnp.ndarray) -> jnp.ndarray:
-    """Digit convolution of stacked digit-row arrays via outer product +
-    the pad/flatten/reshape skew trick (see field.limb._skew_sum) — a
-    handful of Mosaic loop nests instead of ~1000 unrolled mul-adds,
-    which keeps kernel compile time in seconds.  a: (la, ...) rows,
-    b: (lb, ...) rows (broadcastable) -> (la+lb, ...) un-normalized."""
-    la, lb = a_arr.shape[0], b_arr.shape[0]
-    prod = a_arr[:, None] * b_arr[None, :]        # (la, lb, sub, lane)
-    v = la + lb
-    tail = prod.shape[2:]
-    pad = jnp.zeros((la, la + 1) + tail, prod.dtype)
-    padded = jnp.concatenate([prod, pad], axis=1)
-    flat = padded.reshape((la * (v + 1),) + tail)[: la * v]
-    return flat.reshape((la, v) + tail).sum(axis=0)
-
-
-def _fq_mul(a, b):
-    """Montgomery product of two Fq values (lists of L digit rows):
-    separated SOS with all three convolution passes as `_conv_arr`."""
-    aa = jnp.stack(a)
-    bb = jnp.stack(b)
-    t_arr = _conv_arr(aa, bb)                     # (2L, sub, lane) < 2^21
-    t, _ = _ripple([t_arr[i] for i in range(2 * L)])
-    m_arr = _conv_arr(jnp.stack(t[:L]), _KC["np"])[:L]   # mod R
-    m, _ = _ripple([m_arr[i] for i in range(L)])
-    s_arr = _conv_arr(jnp.stack(m), _KC["p"])     # (2L, ...) m*p
-    s, _ = _ripple([s_arr[i] + t[i] for i in range(2 * L)])
-    return _fq_cond_sub_p(s[L:2 * L])
-
-
-def _fq_cond_sub_p(res):
-    """res < 2p (canonical digits) -> res mod p."""
-    cur, ge = _ripple([res[k] + _PC[k] for k in range(L)])
-    take = ge > 0.5
-    return [jnp.where(take, cur[k], res[k]) for k in range(L)]
-
-
-def _fq_add(a, b):
-    s, _ = _ripple([a[k] + b[k] for k in range(L)])
-    return _fq_cond_sub_p(s)
-
-
-def _fq_sub(a, b):
-    v = [a[k] + ((BASE - 1.0) - b[k]) for k in range(L)]
-    v[0] = v[0] + 1.0
-    cur, carry = _ripple(v)
-    borrow = carry < 0.5     # borrow <=> no carry out <=> a < b
-    plus_p, _ = _ripple([cur[k] + _P[k] for k in range(L)])
-    return [jnp.where(borrow, plus_p[k], cur[k]) for k in range(L)]
-
-
-def _fq_dbl(a):
-    return _fq_add(a, a)
-
-
-def _fq_is_zero(a):
-    acc = a[0] == 0
-    for k in range(1, L):
-        acc = jnp.logical_and(acc, a[k] == 0)
-    return acc
-
-
-def _fq_select(mask, a, b):
-    return [jnp.where(mask, a[k], b[k]) for k in range(L)]
-
-
-# ---------------------------------------------------------------------------
-# generic field-op table: Fq uses the helpers above; Fq2 builds on them
+# in-kernel field tables: an Fq value is an (L, B) digit-major array,
+# an Fq2 value is (2L, B) with c0 = rows[:L], c1 = rows[L:]
 # ---------------------------------------------------------------------------
 
 class _KFq:
     rows = L
 
-    mul = staticmethod(_fq_mul)
-    add = staticmethod(_fq_add)
-    sub = staticmethod(_fq_sub)
-    dbl = staticmethod(_fq_dbl)
-    is_zero = staticmethod(_fq_is_zero)
-    select = staticmethod(_fq_select)
+    def __init__(self, cc: fc.CoreConsts):
+        self.cc = cc
 
-    @staticmethod
-    def sqr(a):
-        return _fq_mul(a, a)
+    def mul(self, a, b):
+        return fc.mont_mul_dm(a, b, self.cc)
 
+    def sqr(self, a):
+        return fc.mont_mul_dm(a, a, self.cc)
 
-class _KFq2:
-    """Fq2 value = list of 2L rows: c0 = rows[:L], c1 = rows[L:]."""
+    def add(self, a, b):
+        return fc.add_dm(a, b, self.cc)
 
-    rows = 2 * L
+    def sub(self, a, b):
+        return fc.sub_dm(a, b, self.cc)
 
-    @staticmethod
-    def mul(a, b):
-        a0, a1, b0, b1 = a[:L], a[L:], b[:L], b[L:]
-        t0 = _fq_mul(a0, b0)
-        t1 = _fq_mul(a1, b1)
-        t2 = _fq_mul(_fq_add(a0, a1), _fq_add(b0, b1))
-        r0 = _fq_sub(t0, t1)
-        r1 = _fq_sub(_fq_sub(t2, t0), t1)
-        return r0 + r1
+    def dbl(self, a):
+        return fc.add_dm(a, a, self.cc)
 
-    @staticmethod
-    def sqr(a):
-        a0, a1 = a[:L], a[L:]
-        r0 = _fq_mul(_fq_add(a0, a1), _fq_sub(a0, a1))
-        r1 = _fq_mul(_fq_dbl(a0), a1)
-        return r0 + r1
-
-    @staticmethod
-    def add(a, b):
-        return _fq_add(a[:L], b[:L]) + _fq_add(a[L:], b[L:])
-
-    @staticmethod
-    def sub(a, b):
-        return _fq_sub(a[:L], b[:L]) + _fq_sub(a[L:], b[L:])
-
-    @staticmethod
-    def dbl(a):
-        return _fq_dbl(a[:L]) + _fq_dbl(a[L:])
-
-    @staticmethod
-    def is_zero(a):
-        return jnp.logical_and(_fq_is_zero(a[:L]), _fq_is_zero(a[L:]))
+    def is_zero(self, a):
+        return fc.is_zero_dm(a)
 
     @staticmethod
     def select(mask, a, b):
-        return [jnp.where(mask, x, y) for x, y in zip(a, b)]
+        return jnp.where(mask[None, :], a, b)
+
+    def one(self, like):
+        return jnp.broadcast_to(self.cc.r_col, (L, like.shape[-1]))
+
+
+class _KFq2:
+    rows = 2 * L
+
+    def __init__(self, cc: fc.CoreConsts):
+        self.cc = cc
+        self._fq = _KFq(cc)
+
+    def mul(self, a, b):
+        f = self._fq
+        a0, a1, b0, b1 = a[:L], a[L:], b[:L], b[L:]
+        t0 = f.mul(a0, b0)
+        t1 = f.mul(a1, b1)
+        t2 = f.mul(f.add(a0, a1), f.add(b0, b1))
+        r0 = f.sub(t0, t1)
+        r1 = f.sub(f.sub(t2, t0), t1)
+        return jnp.concatenate([r0, r1], axis=0)
+
+    def sqr(self, a):
+        f = self._fq
+        a0, a1 = a[:L], a[L:]
+        r0 = f.mul(f.add(a0, a1), f.sub(a0, a1))
+        r1 = f.mul(f.dbl(a0), a1)
+        return jnp.concatenate([r0, r1], axis=0)
+
+    def add(self, a, b):
+        f = self._fq
+        return jnp.concatenate(
+            [f.add(a[:L], b[:L]), f.add(a[L:], b[L:])], axis=0)
+
+    def sub(self, a, b):
+        f = self._fq
+        return jnp.concatenate(
+            [f.sub(a[:L], b[:L]), f.sub(a[L:], b[L:])], axis=0)
+
+    def dbl(self, a):
+        return self.add(a, a)
+
+    def is_zero(self, a):
+        return jnp.logical_and(fc.is_zero_dm(a[:L]), fc.is_zero_dm(a[L:]))
+
+    @staticmethod
+    def select(mask, a, b):
+        return jnp.where(mask[None, :], a, b)
+
+    def one(self, like):
+        b = like.shape[-1]
+        return jnp.concatenate(
+            [jnp.broadcast_to(self.cc.r_col, (L, b)),
+             jnp.zeros((L, b), like.dtype)], axis=0)
 
 
 def _double_core(K, x, y, z):
@@ -223,14 +143,6 @@ def _double_core(K, x, y, z):
     y3 = K.sub(K.mul(e, K.sub(d, x3)), c8)
     z3 = K.dbl(K.mul(y, z))
     return x3, y3, z3
-
-
-def _one_mont(K, like):
-    r_digits = [float(v) for v in params.to_limbs(FQ_CTX.r_int)]
-    one = [jnp.full_like(like, d) for d in r_digits]
-    if K.rows == 2 * L:
-        one = one + [jnp.zeros_like(like)] * L
-    return one
 
 
 def _double_affine_core(K, x, y):
@@ -282,8 +194,8 @@ def _madd_core(K, px, py, pz, qx, qy, qz):
     cancel = jnp.logical_and(
         jnp.logical_and(h_zero, jnp.logical_not(r_zero)),
         jnp.logical_and(jnp.logical_not(p_inf), jnp.logical_not(q_inf)))
-    one = _one_mont(K, px[0])
-    zero = [jnp.zeros_like(px[0])] * K.rows
+    one = K.one(px)
+    zero = jnp.zeros_like(px)
     x3 = K.select(cancel, one, x3)
     y3 = K.select(cancel, one, y3)
     z3 = K.select(cancel, zero, z3)
@@ -331,8 +243,8 @@ def _add_core(K, px, py, pz, qx, qy, qz):
     cancel = jnp.logical_and(
         jnp.logical_and(h_zero, jnp.logical_not(r_zero)),
         jnp.logical_and(jnp.logical_not(p_inf), jnp.logical_not(q_inf)))
-    one = _one_mont(K, px[0])
-    zero = [jnp.zeros_like(px[0])] * K.rows
+    one = K.one(px)
+    zero = jnp.zeros_like(px)
     x3 = K.select(cancel, one, x3)
     y3 = K.select(cancel, one, y3)
     z3 = K.select(cancel, zero, z3)
@@ -351,50 +263,48 @@ def _add_core(K, px, py, pz, qx, qy, qz):
 # kernels + host wrappers
 # ---------------------------------------------------------------------------
 
-def _rows(ref, n):
-    return [ref[k] for k in range(n)]
+def _make_k(nrows, consts_ref):
+    cc = fc.unpack_consts(consts_ref[:])
+    return _KFq(cc) if nrows == L else _KFq2(cc)
 
 
-def _write(ref, rows):
-    for k, r in enumerate(rows):
-        ref[k] = r
+# kernels read element-major (TILE, nrows) blocks and transpose to the
+# digit-major compute layout in VMEM — measured ~7x cheaper than XLA
+# transposes of the whole arrays around the kernel
+
+def _add_kernel(nrows, cref, px, py, pz, qx, qy, qz, ox, oy, oz):
+    with fc.kernel_mode():
+        K = _make_k(nrows, cref)
+        x3, y3, z3 = _add_core(K, px[:].T, py[:].T, pz[:].T,
+                               qx[:].T, qy[:].T, qz[:].T)
+        ox[:] = x3.T
+        oy[:] = y3.T
+        oz[:] = z3.T
 
 
-def _add_kernel(nrows, px, py, pz, qx, qy, qz, ox, oy, oz):
-    _bind_kernel_consts()
-    K = _KFq if nrows == L else _KFq2
-    x3, y3, z3 = _add_core(K, _rows(px, nrows), _rows(py, nrows),
-                           _rows(pz, nrows), _rows(qx, nrows),
-                           _rows(qy, nrows), _rows(qz, nrows))
-    _write(ox, x3)
-    _write(oy, y3)
-    _write(oz, z3)
+def _madd_kernel(nrows, cref, px, py, pz, qx, qy, qz, ox, oy, oz):
+    with fc.kernel_mode():
+        K = _make_k(nrows, cref)
+        x3, y3, z3 = _madd_core(K, px[:].T, py[:].T, pz[:].T,
+                                qx[:].T, qy[:].T, qz[:].T)
+        ox[:] = x3.T
+        oy[:] = y3.T
+        oz[:] = z3.T
 
 
-def _madd_kernel(nrows, px, py, pz, qx, qy, qz, ox, oy, oz):
-    _bind_kernel_consts()
-    K = _KFq if nrows == L else _KFq2
-    x3, y3, z3 = _madd_core(K, _rows(px, nrows), _rows(py, nrows),
-                            _rows(pz, nrows), _rows(qx, nrows),
-                            _rows(qy, nrows), _rows(qz, nrows))
-    _write(ox, x3)
-    _write(oy, y3)
-    _write(oz, z3)
-
-
-def _double_kernel(nrows, px, py, pz, ox, oy, oz):
-    _bind_kernel_consts()
-    K = _KFq if nrows == L else _KFq2
-    x3, y3, z3 = _double_core(K, _rows(px, nrows), _rows(py, nrows),
-                              _rows(pz, nrows))
-    _write(ox, x3)
-    _write(oy, y3)
-    _write(oz, z3)
+def _double_kernel(nrows, cref, px, py, pz, ox, oy, oz):
+    with fc.kernel_mode():
+        K = _make_k(nrows, cref)
+        x3, y3, z3 = _double_core(K, px[:].T, py[:].T, pz[:].T)
+        ox[:] = x3.T
+        oy[:] = y3.T
+        oz[:] = z3.T
 
 
 def _to_lane_major(arr, nrows):
-    """(batch..., elem..., L) -> ((n_tiles, nrows, SUB, LANE), batch_shape,
-    n).  Pads the flattened batch to a TILE multiple."""
+    """(batch..., elem..., L) -> ((n_padded, nrows), batch_shape, n).
+    Element-major (a reshape + pad only — no XLA transpose; kernels
+    transpose in VMEM)."""
     elem_nd = 1 if nrows == L else 2
     batch_shape = arr.shape[:arr.ndim - elem_nd]
     n = 1
@@ -404,74 +314,37 @@ def _to_lane_major(arr, nrows):
     pad = (-n) % TILE
     if pad:
         flat = jnp.concatenate([flat, jnp.zeros((pad, nrows), flat.dtype)])
-    m = flat.shape[0]
-    lm = flat.T.reshape(nrows, m // LANE, LANE)
-    return lm, batch_shape, n
+    return flat, batch_shape, n
 
 
 def _from_lane_major(lm, nrows, batch_shape, n):
-    m = lm.shape[1] * LANE
-    flat = lm.reshape(nrows, m).T[:n]
+    flat = lm[:n]
     elem_shape = (L,) if nrows == L else (2, L)
     return flat.reshape(batch_shape + elem_shape)
 
 
+def _consts_arr():
+    return jnp.asarray(fc.pack_consts_np(FQ_CTX.p))
+
+
 @lru_cache(maxsize=None)
-def _add_call(nrows):
+def _point_call(kernel, nrows, n_in):
     import jax.experimental.pallas as pl
 
-    def fn(*lms):
-        n_tiles = lms[0].shape[1] // SUB
-        spec = pl.BlockSpec((nrows, SUB, LANE), lambda i: (0, i, 0))
+    def fn(consts, *lms):
+        n_tiles = lms[0].shape[0] // TILE
+        spec = pl.BlockSpec((TILE, nrows), lambda i: (i, 0))
+        cspec = pl.BlockSpec((fc.CONST_ROWS, fc.CONST_COLS),
+                             lambda i: (0, 0))
         return pl.pallas_call(
-            partial(_add_kernel, nrows),
+            partial(kernel, nrows),
             out_shape=tuple(
                 jax.ShapeDtypeStruct(lms[0].shape, lms[0].dtype)
                 for _ in range(3)),
             grid=(n_tiles,),
-            in_specs=[spec] * 6,
+            in_specs=[cspec] + [spec] * n_in,
             out_specs=(spec, spec, spec),
-        )(*lms)
-
-    return jax.jit(fn)
-
-
-@lru_cache(maxsize=None)
-def _madd_call(nrows):
-    import jax.experimental.pallas as pl
-
-    def fn(*lms):
-        n_tiles = lms[0].shape[1] // SUB
-        spec = pl.BlockSpec((nrows, SUB, LANE), lambda i: (0, i, 0))
-        return pl.pallas_call(
-            partial(_madd_kernel, nrows),
-            out_shape=tuple(
-                jax.ShapeDtypeStruct(lms[0].shape, lms[0].dtype)
-                for _ in range(3)),
-            grid=(n_tiles,),
-            in_specs=[spec] * 6,
-            out_specs=(spec, spec, spec),
-        )(*lms)
-
-    return jax.jit(fn)
-
-
-@lru_cache(maxsize=None)
-def _double_call(nrows):
-    import jax.experimental.pallas as pl
-
-    def fn(*lms):
-        n_tiles = lms[0].shape[1] // SUB
-        spec = pl.BlockSpec((nrows, SUB, LANE), lambda i: (0, i, 0))
-        return pl.pallas_call(
-            partial(_double_kernel, nrows),
-            out_shape=tuple(
-                jax.ShapeDtypeStruct(lms[0].shape, lms[0].dtype)
-                for _ in range(3)),
-            grid=(n_tiles,),
-            in_specs=[spec] * 3,
-            out_specs=(spec, spec, spec),
-        )(*lms)
+        )(consts, *lms)
 
     return jax.jit(fn)
 
@@ -495,8 +368,7 @@ def enabled() -> bool:
         return False
 
 
-def jac_add(ops, p, q):
-    """Fused complete point add; p, q: JPoint-like triples of arrays."""
+def _run_binary(kernel, ops, p, q):
     nr = _nrows(ops)
     lms = []
     meta = None
@@ -504,39 +376,36 @@ def jac_add(ops, p, q):
         lm, bs, n = _to_lane_major(arr, nr)
         lms.append(lm)
         meta = (bs, n)
-    ox, oy, oz = _add_call(nr)(*lms)
+    ox, oy, oz = _point_call(kernel, nr, 6)(_consts_arr(), *lms)
     bs, n = meta
     from ..curve.jacobian import JPoint
 
     return JPoint(_from_lane_major(ox, nr, bs, n),
                   _from_lane_major(oy, nr, bs, n),
                   _from_lane_major(oz, nr, bs, n))
+
+
+def jac_add(ops, p, q):
+    """Fused complete point add; p, q: JPoint-like triples of arrays."""
+    return _run_binary(_add_kernel, ops, p, q)
 
 
 def jac_madd(ops, p, q):
     """Fused complete MIXED add: q.z must be in {0, one} (see
     `curve.jacobian.madd`)."""
-    nr = _nrows(ops)
-    lms = []
-    meta = None
-    for arr in (p.x, p.y, p.z, q.x, q.y, q.z):
-        lm, bs, n = _to_lane_major(arr, nr)
-        lms.append(lm)
-        meta = (bs, n)
-    ox, oy, oz = _madd_call(nr)(*lms)
-    bs, n = meta
-    from ..curve.jacobian import JPoint
-
-    return JPoint(_from_lane_major(ox, nr, bs, n),
-                  _from_lane_major(oy, nr, bs, n),
-                  _from_lane_major(oz, nr, bs, n))
+    return _run_binary(_madd_kernel, ops, p, q)
 
 
 def jac_double(ops, p):
     nr = _nrows(ops)
-    lms = [_to_lane_major(arr, nr)[0] for arr in (p.x, p.y, p.z)]
-    _, bs, n = _to_lane_major(p.z, nr)
-    ox, oy, oz = _double_call(nr)(*lms)
+    lms = []
+    meta = None
+    for arr in (p.x, p.y, p.z):
+        lm, bs, n = _to_lane_major(arr, nr)
+        lms.append(lm)
+        meta = (bs, n)
+    ox, oy, oz = _point_call(_double_kernel, nr, 3)(_consts_arr(), *lms)
+    bs, n = meta
     from ..curve.jacobian import JPoint
 
     return JPoint(_from_lane_major(ox, nr, bs, n),

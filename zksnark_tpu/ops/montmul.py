@@ -3,147 +3,96 @@
 The XLA path (`field.limb.mont_mul`) expresses one 254-bit multiply as a
 few hundred HLO ops on (..., 32)-shaped arrays; under big fan-out (NTT
 stages, MSM point adds) that costs compile time and leaves the minor
-dimension at 32 of 128 lanes.  This kernel runs the whole separated-SOS
-Montgomery pipeline in VMEM on a *lane-major* layout:
+dimension at 32 of 128 lanes.  This kernel runs the separated-SOS
+Montgomery pipeline of `ops.fieldcore` in VMEM on a *digit-major* layout:
 
-    digits on the sublane axis, batch on the 128-wide lane axis —
+    digits on the sublane axis, batch on the lane axis —
     a_ref[i, :] is digit i of a whole tile of elements.
 
-Everything is float32: 8-bit digits make every partial product (< 2^16)
-and every 32-term accumulation (< 2^21) exact, and f32 multiplies run at
-the full VPU rate (the TPU has no native 32-bit integer multiplier).
-Carries ripple once over the digit rows with exact floor-splits —
-sequential but tiny, since the batch axis is the vector axis.
+The fieldcore pipeline puts the two fixed-operand convolution passes
+(x n' mod R, x p) on the MXU as banded-Toeplitz matmuls and resolves
+carries with parallel folds + a Kogge-Stone prefix — no serial ripple
+(the round-4 kernel's 64-step dependency chains were the measured
+bottleneck: 27 Mmul/s standalone).  Everything is float32: 8-bit digits
+keep every partial product and accumulation exact (see fieldcore's bound
+bookkeeping).
 
 API: `mont_mul_pallas(ctx, a, b)` — drop-in for `limb.mont_mul` on 2-D
-inputs (N, L).  interpret=True runs the kernel body on plain arrays via
-_EmuRef (the CPU test harness detaches the TPU platform, which breaks
+inputs (N, L).  interpret=True runs the same fieldcore math on plain
+arrays (the CPU test harness detaches the TPU platform, which breaks
 pallas interpret mode itself — so the pallas_call below always runs
 compiled, never interpreted).
 """
 
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache
 
 import jax
 import jax.numpy as jnp
 
 from ..field import params
 from ..field.limb import MontCtx
+from . import fieldcore as fc
 
 L = params.NUM_LIMBS          # 32 digits
-BASE = float(1 << params.LIMB_BITS)
-INV_BASE = 1.0 / BASE
 TILE = 512  # batch elements per kernel instance (lane axis)
 
 
-def _ripple(digits, start=0.0):
-    """Sequential exact carry ripple over a list of f32 digit rows."""
-    out = []
-    carry = start
-    for v in digits:
-        v = v + carry
-        carry = jnp.floor(v * INV_BASE)
-        out.append(v - carry * BASE)
-    return out, carry
+def _kernel_body(consts_ref, a_ref, b_ref, o_ref):
+    # element-major (TILE, L) blocks; the digit-major transpose happens
+    # in VMEM (measured ~7x cheaper than an XLA transpose of the whole
+    # array around the kernel)
+    with fc.kernel_mode():
+        cc = fc.unpack_consts(consts_ref[:])
+        o_ref[:] = fc.mont_mul_dm(a_ref[:].T, b_ref[:].T, cc).T
 
 
-def _kernel_body(p_limbs, nprime_limbs, pcomp_limbs, a_ref, b_ref, o_ref):
-    a = [a_ref[i, :] for i in range(L)]
-    b = [b_ref[i, :] for i in range(L)]
-    zero = jnp.zeros_like(a[0])
+@lru_cache(maxsize=None)
+def _pallas_fn(n_padded: int):
+    import jax.experimental.pallas as pl
 
-    # t = a * b (2L digit rows, values < 2^21: exact f32)
-    t = [zero for _ in range(2 * L)]
-    for i in range(L):
-        ai = a[i]
-        for j in range(L):
-            t[i + j] = t[i + j] + ai * b[j]
-    t, _ = _ripple(t)
+    grid = (n_padded // TILE,)
 
-    # m = t_lo * (-p^-1 mod R) mod R
-    m = [zero for _ in range(L)]
-    for i in range(L):
-        ti = t[i]
-        for j in range(L - i):
-            m[i + j] = m[i + j] + ti * nprime_limbs[j]
-    m, _ = _ripple(m)
+    def fn(consts, a, b):
+        spec = pl.BlockSpec((TILE, L), lambda i: (i, 0))
+        return pl.pallas_call(
+            _kernel_body,
+            out_shape=jax.ShapeDtypeStruct(a.shape, a.dtype),
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((fc.CONST_ROWS, fc.CONST_COLS),
+                             lambda i: (0, 0)),
+                spec,
+                spec,
+            ],
+            out_specs=spec,
+        )(consts, a, b)
 
-    # s = t + m * p; low L digits become zero; result is s[L:2L]
-    s = list(t)
-    for i in range(L):
-        mi = m[i]
-        for j in range(L):
-            s[i + j] = s[i + j] + mi * p_limbs[j]
-    s, _ = _ripple(s)
-    res = s[L:2 * L]
-
-    # conditional subtract p: add the precomputed 2^256 - p digits; the
-    # final carry is 1 exactly when res >= p
-    cur, ge = _ripple([res[k] + pcomp_limbs[k] for k in range(L)])
-    take_sub = ge > 0.5
-    for k in range(L):
-        o_ref[k, :] = jnp.where(take_sub, cur[k], res[k])
-
-
-class _EmuRef:
-    """Minimal pallas Ref emulation so the kernel body can run on plain
-    arrays (the CPU test harness detaches the TPU platform, which breaks
-    even *importing* jax.experimental.pallas there)."""
-
-    def __init__(self, arr):
-        self.arr = arr
-
-    def __getitem__(self, key):
-        return self.arr[key]
-
-    def __setitem__(self, key, value):
-        self.arr = self.arr.at[key].set(value)
+    return jax.jit(fn)
 
 
 def mont_mul_pallas(ctx: MontCtx, a: jnp.ndarray, b: jnp.ndarray,
                     interpret: bool = False) -> jnp.ndarray:
-    """Batched Montgomery multiply via the Pallas kernel.
+    """Batched Montgomery multiply via the Pallas fieldcore kernel.
 
     a, b: (N, L) f32 digit vectors in Montgomery form; padded to TILE
-    internally.  Returns (N, L).  interpret=True runs the kernel body on
-    plain arrays (CPU harness; no pallas import)."""
+    internally.  Returns (N, L).  interpret=True runs the fieldcore math
+    on plain arrays (CPU harness; no pallas import)."""
     n = a.shape[0]
     pad = (-n) % TILE
     if pad:
         a = jnp.concatenate([a, jnp.zeros((pad, L), a.dtype)])
         b = jnp.concatenate([b, jnp.zeros((pad, L), b.dtype)])
-    at = a.T  # (L, N) lane-major
-    bt = b.T
 
-    p_limbs = [float(x) for x in ctx.p_np]
-    np_limbs = [float(x) for x in params.to_limbs(ctx.nprime_int)]
-    pc_limbs = [float(x)
-                for x in params.to_limbs((1 << 256) - ctx.p)]
-
-    kernel = partial(_kernel_body, p_limbs, np_limbs, pc_limbs)
     if interpret:
-        o_ref = _EmuRef(jnp.zeros(at.shape, at.dtype))
-        kernel(_EmuRef(at), _EmuRef(bt), o_ref)
-        res = o_ref.arr.T
+        cc = fc.make_consts(ctx)
+        res = fc.mont_mul_dm(a.T, b.T, cc).T
         return res[:n] if pad else res
 
-    from jax.experimental import pallas as pl
-
-    grid = (at.shape[1] // TILE,)
-    out = pl.pallas_call(
-        kernel,
-        out_shape=jax.ShapeDtypeStruct(at.shape, at.dtype),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((L, TILE), lambda i: (0, i)),
-            pl.BlockSpec((L, TILE), lambda i: (0, i)),
-        ],
-        out_specs=pl.BlockSpec((L, TILE), lambda i: (0, i)),
-    )(at, bt)
-    res = out.T
-    return res[:n] if pad else res
+    consts = jnp.asarray(fc.pack_consts_np(ctx.p))
+    out = _pallas_fn(a.shape[0])(consts, a, b)
+    return out[:n] if pad else out
 
 
 import os as _os
@@ -159,8 +108,7 @@ _MIN_BATCH = 1
 
 def enabled() -> bool:
     """Kernel-backed field multiplies on?  Default: TPU backends only
-    (ZK_NTT_PALLAS=0/1 overrides) — measured 8x over the XLA limb path at
-    2^15-element batches on a v5e."""
+    (ZK_NTT_PALLAS=0/1 overrides)."""
     if _FORCE == "0":
         return False
     if _FORCE == "1":

@@ -168,13 +168,6 @@ def tree_sum(ops, pts: JPoint) -> JPoint:
     return JPoint(pts.x[0], pts.y[0], pts.z[0])
 
 
-def _keep_last(ops):
-    def combine(a: JPoint, b: JPoint) -> JPoint:
-        return jac.select(ops, jac.is_infinity(ops, b), a, b)
-
-    return combine
-
-
 def batch_scalar_mul(ops, pts: JPoint, scalar_limbs: jnp.ndarray) -> JPoint:
     """[s_i] P_i for every i — MSB-first double-and-add under lax.scan.
 
@@ -285,13 +278,26 @@ def _bucket_window_sorted(ops, pts: JPoint, order: jnp.ndarray,
         pos_chunk, mode="drop")
     ends_c = _take_points(carry, bucket_chunk)
     ends = jac.add(ops, ends_c, ends_w)
-    filled = _prefix_scan(ops, ends, combine=_keep_last(ops))
+
+    # forward-fill E_j = prefix at the end of the last NON-EMPTY bucket
+    # <= j.  Emptiness is an explicit validity flag (scattered alongside
+    # the prefixes), NOT the infinity sentinel: a non-empty bucket whose
+    # prefix legitimately sums to infinity (an exactly-cancelling point
+    # set) must still overwrite the fill.  An int prefix-max over bucket
+    # indices + one gather replaces the point-typed keep-last scan.
+    valid = jnp.zeros((num_buckets,), jnp.int32).at[tgt].set(1, mode="drop")
+    src = jnp.where(valid > 0,
+                    jnp.arange(num_buckets, dtype=jnp.int32),
+                    jnp.int32(-1))
+    last_valid = jax.lax.associative_scan(jnp.maximum, src)
+    filled = _take_points(ends, jnp.maximum(last_valid, 0))
+    before_any = last_valid < 0            # buckets before the first run
+    filled = jac.select(ops, before_any, jac.infinity(ops, (num_buckets,)),
+                        filled)
 
     # Abel: sum_j j*B_j = num_buckets * E_top - sum_j E_j.  E_top is the
     # global point total, computed EXACTLY as last-chunk-carry + last
-    # chunk total — not read from the keep-last fill, whose
-    # infinity-as-empty sentinel would mis-fill if a run-end prefix is
-    # legitimately the point at infinity (a cancelling point set).
+    # chunk total (also immune to the cancelling-prefix case).
     e_top = jac.add(ops, _last(carry), _last(totals))
     lhs = _double_n(ops, e_top, num_buckets.bit_length() - 1)
     rhs = tree_sum(ops, filled)
@@ -387,7 +393,14 @@ def msm(ops, pts: JPoint, scalar_limbs: jnp.ndarray,
     with infinity/zero terms so different small instances share one
     compiled graph.  affine=True asserts the batch_normalize invariant
     (every Z in {0, one}) and runs the bucket scans on the cheap fused
-    mixed-add kernel."""
+    mixed-add kernel.
+
+    scalar_bits > 0 is a CALLER-GUARANTEED static bound: every scalar
+    must be < 2^scalar_bits.  Windows above the bound are never computed
+    — a scalar exceeding it has its high windows silently dropped and
+    the result is WRONG.  Use it only for structurally-bounded scalar
+    sets (bit-validity scalars, pre-split window digits); leave 0 for
+    general field scalars."""
     n = pts.z.shape[0]
     m = max(64, 1 << (n - 1).bit_length())
     if m != n:

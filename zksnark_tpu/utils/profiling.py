@@ -49,13 +49,18 @@ class PhaseTimer:
 
 
 def msm_work(n_points: int, window_bits: int) -> Dict[str, float]:
-    """Approximate point-op / limb-multiply counts for one MSM (for
-    Gexp/s-style roofline reporting)."""
+    """Approximate point-op / digit-multiply counts for one MSM (for
+    Gexp/s-style roofline reporting).
+
+    Point-add cost: the bucket scans run mixed adds (~16 field muls,
+    ops/curve_pallas._madd_core); each 254-bit field mul is one 32x32
+    8-bit-digit convolution plus two 32x32 Toeplitz passes (field/limb.py
+    layout: 32 digits of 8 bits) = 3*32*32 digit MACs."""
     n_windows = -(-256 // window_bits)
-    # two-level HS prefix scans ~ (log2(chunk)+log2(chunks)) ~ 14 adds/point
-    point_adds = n_windows * (14 * n_points + 17 * (1 << window_bits))
-    limb_muls = point_adds * 12 * 256  # ~12 field muls, 16x16 limb products
-    return {"point_adds": point_adds, "limb_muls": limb_muls,
+    # chunked scan ~1 madd/point + carry fixup; bucket side ~4 general adds
+    point_adds = n_windows * (n_points + 4 * (1 << window_bits))
+    digit_muls = point_adds * 16 * (3 * 32 * 32)
+    return {"point_adds": point_adds, "limb_muls": digit_muls,
             "gexp_equiv": n_points}
 
 
@@ -63,4 +68,6 @@ def ntt_work(n: int) -> Dict[str, float]:
     import math
 
     butterflies = n // 2 * int(math.log2(n))
-    return {"butterflies": butterflies, "limb_muls": butterflies * 256}
+    # one field mul per butterfly: 3 passes of 32x32 8-bit digit MACs
+    return {"butterflies": butterflies,
+            "limb_muls": butterflies * 3 * 32 * 32}

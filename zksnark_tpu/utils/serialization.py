@@ -7,9 +7,10 @@ versioned layouts:
 - JSON (hex-encoded field elements) for small artifacts: proofs, public
   inputs, the host Sigma parts.  G1 points are [x, y] (null = infinity);
   G2 points are [[x0, x1], [y0, y1]] over Fq2.
-- ``.npz`` for the big device CRS arrays (raw 16x16-bit limb tensors in
-  Montgomery form, little-endian limb order) — the prover memory-maps
-  these straight back to the device.
+- ``.npz`` for the big device CRS arrays (raw 32x8-bit digit tensors in
+  f32 lanes, Montgomery form, little-endian digit order — the
+  `field.limb` layout) — the prover memory-maps these straight back to
+  the device.
 """
 
 from __future__ import annotations

@@ -25,9 +25,9 @@ O(n^2) coefficient-domain polynomial arithmetic plus per-coefficient serial
 double-and-add exponentiations through the Rust ``bn`` crate.  The model is
 deliberately generous to the reference (optimistic Rust constants).
 
-Env knobs: BENCH_LOG_N (default 16), BENCH_REPEATS (default 2),
-BENCH_BUDGET_S (default 3300), BENCH_WARM_SETUP=1 (also time a second
-setup call).
+Env knobs: BENCH_LOG_N (default 20 — the BASELINE.md headline size),
+BENCH_REPEATS (default 2), BENCH_BUDGET_S (default 3300),
+BENCH_WARM_SETUP=0 disables the second (compile-free) setup timing.
 """
 
 import json
@@ -51,7 +51,7 @@ from zksnark_tpu.groth16 import protocol, prover  # noqa: E402
 from zksnark_tpu.groth16.backend import BN254Backend  # noqa: E402
 
 T_START = time.time()
-LOG_N = int(os.environ.get("BENCH_LOG_N", "16"))
+LOG_N = int(os.environ.get("BENCH_LOG_N", "20"))
 REPEATS = int(os.environ.get("BENCH_REPEATS", "2"))
 BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "3300"))
 
@@ -131,10 +131,26 @@ def _log(msg):
           flush=True)
 
 
+def _sync(arr) -> float:
+    """HARD device sync: transfer one scalar to host.  On the remote-TPU
+    tunnel `jax.block_until_ready` does NOT actually block (measured:
+    a chained 4096^3 matmul "completed" in 0.07 ms); an output transfer
+    is the only reliable completion barrier."""
+    import numpy as np
+
+    return float(np.asarray(arr).ravel()[0])
+
+
 def _submetrics(dqap, dcrs, wit):
     """MSM Gexp/s + NTT butterflies/s + montmul Mmul/s (BASELINE.md axis
-    2), appended to BENCH_DETAILS.json stage by stage."""
+    2), appended to BENCH_DETAILS.json stage by stage.
+
+    Timing method: warm call + hard host-transfer sync, then a timed
+    call with the same sync; kernel-rate metrics chain repeats with
+    lax.fori_loop INSIDE one dispatch so the ~28 ms tunnel dispatch
+    overhead amortizes away (see _sync)."""
     import math
+    from functools import partial as _partial
 
     from zksnark_tpu.curve.field_ops import FQ_OPS
     from zksnark_tpu.field.limb import FR_CTX
@@ -151,10 +167,10 @@ def _submetrics(dqap, dcrs, wit):
         FR_CTX, jnp.asarray(FR_CTX.to_mont_np(wit[:n] + [0] * max(
             0, n - len(wit)))))
     r = msmod._msm_windowed(FQ_OPS, dcrs.xi_g1, scalars, wb, wg, True)
-    jax.block_until_ready(r.x)  # warm
+    _sync(r.x)  # warm
     t0 = time.time()
     r = msmod._msm_windowed(FQ_OPS, dcrs.xi_g1, scalars, wb, wg, True)
-    jax.block_until_ready(r.x)
+    _sync(r.x)
     msm_s = time.time() - t0
     _details["msm_g1_ms"] = round(msm_s * 1e3, 1)
     _details["msm_gexp_per_s"] = round(n / msm_s)
@@ -174,10 +190,10 @@ def _submetrics(dqap, dcrs, wit):
         if tag and _remaining() < 120:
             break
         mmod._FORCE = force if force is not None else saved_force
-        nt = jax.jit(lambda x, t: nttmod.ntt(dom, x, t))
-        jax.block_until_ready(nt(a, dom.t))
+        nt = jax.jit(lambda x, t: nttmod.ntt(dom, x, t)[0, 0])
+        _sync(nt(a, dom.t))
         t0 = time.time()
-        jax.block_until_ready(nt(a, dom.t))
+        _sync(nt(a, dom.t))
         ntt_s = time.time() - t0
         _details[f"ntt{tag}_ms"] = round(ntt_s * 1e3, 2)
         _details[f"ntt{tag}_butterflies_per_s"] = round(butterflies / ntt_s)
@@ -186,25 +202,29 @@ def _submetrics(dqap, dcrs, wit):
     mmod._FORCE = saved_force
     _details["ntt_ms"] = _details.get("ntt_ms", _details.get("ntt_xla_ms"))
 
-    # Pallas montmul kernel vs the XLA limb path (real TPU only)
+    # Pallas montmul kernel rate (real TPU only): K chained kernel calls
+    # in ONE dispatch; rate from the K=1 vs K=9 delta
     if jax.devices()[0].platform != "cpu" and _remaining() > 120:
-        from zksnark_tpu.field.limb import mont_mul
         from zksnark_tpu.ops.montmul import mont_mul_pallas
 
         nb = 1 << 16
         av = jnp.tile(a, (max(1, nb // n), 1))[:nb]
-        xla_mm = jax.jit(lambda x, y: mont_mul(FR_CTX, x, y))
-        pal_mm = jax.jit(lambda x, y: mont_mul_pallas(FR_CTX, x, y))
-        for name, f in (("montmul_xla", xla_mm),
-                        ("montmul_pallas", pal_mm)):
-            jax.block_until_ready(f(av, av))  # warm
+
+        @_partial(jax.jit, static_argnums=1)
+        def chain(x, k):
+            y = jax.lax.fori_loop(
+                0, k, lambda i, y: mont_mul_pallas(FR_CTX, y, av), x)
+            return y[0, 0]
+
+        ts = {}
+        for k in (1, 65):
+            _sync(chain(av, k))  # compile warm
             t0 = time.time()
-            for _ in range(10):
-                out = f(av, av)
-            jax.block_until_ready(out)
-            dt = (time.time() - t0) / 10
-            _details[f"{name}_Mmul_per_s"] = round(nb / dt / 1e6, 1)
-            _flush_details()
+            _sync(chain(av, k))
+            ts[k] = time.time() - t0
+        per = max(1e-9, (ts[65] - ts[1]) / 64)
+        _details["montmul_pallas_Mmul_per_s"] = round(nb / per / 1e6, 1)
+        _flush_details()
 
 
 def main():
@@ -217,7 +237,8 @@ def main():
 
     t0 = time.time()
     dcrs = prover.device_setup(dqap, trapdoor=(11, 22, 33, 44, 55))
-    jax.block_until_ready(dcrs.xi_g1.x)
+    _sync(dcrs.xi_g1.x)
+    _sync(dcrs.xi_g2.x)
     t_setup = time.time() - t0
     _details["setup_s"] = round(t_setup, 1)
     _flush_details()
@@ -242,6 +263,15 @@ def main():
                           "error": "proof failed verification"}))
         return
 
+    # verify_ms: the production single-final-exp path (native C++ when
+    # available); `proof_verified` above already ran the 4-pairing
+    # reference verifier
+    t0 = time.time()
+    ok2 = protocol.verify_fast(be, (dcrs.sigmag1, dcrs.sigmag2), [wit[1]],
+                               proof)
+    _details["verify_ms"] = round((time.time() - t0) * 1e3, 1)
+    assert ok2
+
     best = t_warm
     for _ in range(REPEATS):
         if best < t_warm and _remaining() < 1.5 * best:
@@ -250,6 +280,9 @@ def main():
         prover.device_prove(dqap, dcrs, wit, blinding=(7, 9))
         best = min(best, time.time() - t0)
     ms = best * 1e3
+    # compile-vs-compute split: the warmup call traced + compiled every
+    # kernel; the best repeat is pure compute
+    _details["prove_compile_s"] = round(t_warm - best, 1)
 
     # ---- headline exists: print it NOW (everything later is optional)
     ref_ms = _reference_model_ms(n_gates, dqap.num_wires)
@@ -262,6 +295,22 @@ def main():
     _details["prove_ms"] = round(ms, 1)
     _details["devices"] = str(jax.devices())
     _details["vs_reference_model"] = round(ref_ms / ms, 2)
+
+    # MFU against the digit-multiply roofline (BASELINE.md axis 2): the
+    # prover's MAC count is 5 MSMs (4x G1 + 1x G2 at 3x cost) + the NTT
+    # quotient (7 transform passes), each digit MAC = one 8-bit f32/bf16
+    # multiply-accumulate; peak = v5e MXU bf16 (98.5e12 MAC/s) — the unit
+    # every MAC *could* run on if the multiplier were a pure matmul.
+    from zksnark_tpu.ops.msm import pick_window_bits
+    from zksnark_tpu.utils import profiling as prof
+
+    wb = pick_window_bits(dqap.n)
+    msm_macs = prof.msm_work(dqap.n, wb)["limb_muls"] * (4 + 3)
+    ntt_macs = prof.ntt_work(dqap.n)["limb_muls"] * 8
+    total_macs = msm_macs + ntt_macs
+    _details["prove_digit_macs"] = total_macs
+    _details["mfu_vs_mxu_bf16"] = round(
+        total_macs / (ms / 1e3) / 98.5e12, 5)
     _flush_details()
     _log(f"prove {ms:.0f} ms; reference model {ref_ms:.0f} ms")
     _print_headline()
@@ -272,11 +321,15 @@ def main():
     except Exception as e:  # pragma: no cover
         _details["submetric_error"] = repr(e)
 
-    if os.environ.get("BENCH_WARM_SETUP") and _remaining() > 2 * t_setup:
+    if os.environ.get("BENCH_WARM_SETUP", "1") != "0" and \
+            _remaining() > 1.2 * t_setup:
         t0 = time.time()
         dcrs2 = prover.device_setup(dqap, trapdoor=(11, 22, 33, 44, 55))
-        jax.block_until_ready(dcrs2.xi_g1.x)
+        _sync(dcrs2.xi_g1.x)
+        _sync(dcrs2.xi_g2.x)
         _details["setup_warm_s"] = round(time.time() - t0, 1)
+        _details["setup_compile_s"] = round(
+            _details["setup_s"] - _details["setup_warm_s"], 1)
         _log(f"device_setup warm {_details['setup_warm_s']}s")
 
     _details["total_s"] = round(time.time() - T_START, 1)

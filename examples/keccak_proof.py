@@ -88,6 +88,21 @@ def main():
     bad[0] ^= 1
     rej = protocol.verify_fast(be, (dcrs.sigmag1, dcrs.sigmag2), bad, proof)
     print(f"tampered digest: {'ACCEPT (BUG!)' if rej else 'REJECT'}")
+
+    if os.environ.get("KECCAK_WARM"):
+        # warm (compile-free) re-runs: the numbers a deployed prover sees
+        t0 = time.time()
+        dcrs2 = prover.device_setup(dqap, trapdoor=(101, 202, 303, 404,
+                                                    505))
+        print(f"device setup (warm): {time.time()-t0:.1f}s")
+        t0 = time.time()
+        proof2 = prover.device_prove(dqap, dcrs2, weights,
+                                     blinding=(606, 707))
+        print(f"device prove (warm): {time.time()-t0:.1f}s")
+        ok2 = protocol.verify_fast(be, (dcrs2.sigmag1, dcrs2.sigmag2),
+                                   public, proof2)
+        print(f"warm proof: {'ACCEPT' if ok2 else 'REJECT'}")
+        ok = ok and ok2
     return 0 if ok and not rej else 1
 
 

@@ -113,3 +113,37 @@ def test_bn_pinned_determinism():
     p2 = protocol.prove(BE, qap, crs2, w, blinding=bl)
     assert p1 == p2
     assert protocol.verify(BE, crs1, [2, 34], p1)
+
+
+@pytest.mark.slow
+def test_bn_encrypt_quad_full_strength():
+    """10-iteration BN254 quad-share suite (fr.rs:273-302 verbatim
+    count); the default tier runs 2 (2-CPU host economics)."""
+    code = open("test_programs/lispesque_quad.zk").read()
+    qap = from_r1cs(FR, compiler.parse(code, FR))
+    rng = random.Random(7)
+    for _ in range(10):
+        x, a, b, c = (FR.random_elem(rng) for _ in range(4))
+        share = FR.from_int(a * x * x + b * x + c)
+        weights = [1, x, share, FR.mul(a, x), a,
+                   FR.from_int(x * (a * x + b)), b, c]
+        crs = protocol.setup(BE, qap, rng=rng)
+        proof = protocol.prove(BE, qap, crs, weights, rng=rng)
+        assert protocol.verify(BE, crs, [x, share], proof)
+
+
+@pytest.mark.slow
+def test_bn_encrypt_cubic_full_strength():
+    """10-iteration BN254 cubic-share suite (fr.rs:304-359 count)."""
+    code = open("test_programs/lispesque_cubic.zk").read()
+    qap = from_r1cs(FR, compiler.parse(code, FR))
+    rng = random.Random(9)
+    for _ in range(10):
+        x, a, b, c, d = (FR.random_elem(rng) for _ in range(5))
+        share = FR.from_int(a * x * x * x + b * x * x + c * x + d)
+        weights = [1, x, share, FR.mul(a, x), a,
+                   FR.from_int(x * (a * x + b)), b,
+                   FR.from_int(x * (x * (a * x + b) + c)), c, d]
+        crs = protocol.setup(BE, qap, rng=rng)
+        proof = protocol.prove(BE, qap, crs, weights, rng=rng)
+        assert protocol.verify(BE, crs, [x, share], proof)

@@ -8,6 +8,8 @@ acceptance tests from lib.rs:144-254.
 
 import random
 
+import pytest
+
 from zksnark_tpu.field.host import Z251
 from zksnark_tpu.frontend import compiler, legacy, witness
 from zksnark_tpu.frontend.r1cs import R1CS
@@ -233,15 +235,12 @@ def test_simple_circuit_accept_and_reject():
     assert not protocol.verify(BE, crs, [2, 25], proof)
 
 
-def test_comparator_8bit_differential():
-    """8bit_comparator.zk: circuit verdict must equal native ``>``
-    (mirrors lib.rs:203-254; reduced trials)."""
+def _comparator_differential(trials: int, seed: int = 37):
     code = open("test_programs/8bit_comparator.zk").read()
     qap = from_r1cs(Z251, compiler.parse(code, Z251))
-    rng = random.Random(37)
+    rng = random.Random(seed)
 
     rejected = 0
-    trials = 20
     for _ in range(trials):
         a, b = rng.randrange(251), rng.randrange(251)
         abits = [(a >> i) & 1 for i in range(8)]
@@ -263,6 +262,20 @@ def test_comparator_8bit_differential():
         if not protocol.verify(BE, crs, bad_inputs, proof):
             rejected += 1
     assert rejected >= trials // 2, rejected
+
+
+def test_comparator_8bit_differential():
+    """8bit_comparator.zk: circuit verdict must equal native ``>``
+    (mirrors lib.rs:203-254; reduced trials for the 2-CPU dev tier)."""
+    _comparator_differential(20)
+
+
+@pytest.mark.slow
+def test_comparator_8bit_differential_full():
+    """The reference-strength sweep: 1000 random (a, b) pairs
+    (lib.rs:203-254 verbatim count).  Run via scripts/run_slow_stats.py
+    or `pytest -m slow` on a bench-class host."""
+    _comparator_differential(1000)
 
 
 def test_pinned_trapdoor_determinism():

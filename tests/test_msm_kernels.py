@@ -231,3 +231,26 @@ def test_msm_adversarial_all_equal_and_top_scalar():
     got = jac.to_affine_np(FQ_OPS, msmod.msm(FQ_OPS, P, slimbs,
                                              window_bits=8))
     assert got == hc.g1_scalar_mul(hc.G1_GEN_PT, ks[0] * (top % R) % R)
+
+
+def test_msm_many_matches_individual():
+    """_msm_windowed_many (the prover's fused 4x G1 path) == per-instance
+    msm on distinct point sets and scalars."""
+    m, n = 3, 16
+    sets = []
+    for j in range(m):
+        ks = [rng.randrange(1, R) for _ in range(n)]
+        _, P = _g1_batch(ks)
+        svals = [rng.randrange(R) for _ in range(n)]
+        sets.append((P, jnp.asarray(FR_CTX.to_limbs_np(svals))))
+    pts = jac.JPoint(jnp.stack([p.x for p, _ in sets]),
+                     jnp.stack([p.y for p, _ in sets]),
+                     jnp.stack([p.z for p, _ in sets]))
+    scs = jnp.stack([s for _, s in sets])
+    out = msmod._msm_windowed_many(FQ_OPS, pts, scs, 8, 0, False)
+    for j, (P, s) in enumerate(sets):
+        want = jac.to_affine_np(FQ_OPS, msmod.msm(FQ_OPS, P, s,
+                                                  window_bits=8))
+        got = jac.to_affine_np(
+            FQ_OPS, jac.JPoint(out.x[j], out.y[j], out.z[j]))
+        assert got == want, j

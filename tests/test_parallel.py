@@ -137,3 +137,76 @@ def test_sharded_prove_step_matches_single(mesh):
     for s_pt, m_pt, ops in zip(
             single, sharded, [FQ_OPS, FQ_OPS, FQ2_OPS, FQ_OPS, FQ_OPS]):
         assert jac.to_affine_np(ops, s_pt) == jac.to_affine_np(ops, m_pt)
+
+
+def _square_chain(n_gates):
+    """Square-chain R1CS + satisfied witness (bench.py's synthetic
+    circuit): gate g squares the previous wire."""
+    from zksnark_tpu.frontend.r1cs import R1CS
+
+    num_wires = n_gates + 2
+    u = [[] for _ in range(num_wires)]
+    v = [[] for _ in range(num_wires)]
+    w = [[] for _ in range(num_wires)]
+    for g in range(1, n_gates + 1):
+        src = 1 if g == 1 else g
+        u[src].append((g, 1))
+        v[src].append((g, 1))
+        w[g + 1].append((g, 1))
+    r1cs = R1CS(u=u, v=v, w=w, roots=list(range(1, n_gates + 1)), input=1)
+    x = 271828
+    wit = [1, x]
+    cur = x
+    for _ in range(n_gates):
+        cur = cur * cur % FR.p
+        wit.append(cur)
+    return r1cs, wit
+
+
+def _sharded_e2e(mesh, log_n: int):
+    from zksnark_tpu.groth16 import protocol, prover
+    from zksnark_tpu.groth16.backend import BN254Backend
+
+    n_gates = (1 << log_n) - 1
+    r1cs, wit = _square_chain(n_gates)
+    dqap = prover.compile_r1cs(r1cs)
+    td = (11, 22, 33, 44, 55)
+
+    dcrs_m = prover.device_setup(dqap, trapdoor=td, mesh=mesh)
+    dcrs_1 = prover.device_setup(dqap, trapdoor=td)
+    for name in ("xi_g1", "xi_t_g1", "sum_delta_g1", "xi_g2"):
+        pm, p1 = getattr(dcrs_m, name), getattr(dcrs_1, name)
+        assert np.array_equal(np.asarray(pm.x), np.asarray(p1.x)), name
+        assert np.array_equal(np.asarray(pm.y), np.asarray(p1.y)), name
+        assert np.array_equal(np.asarray(pm.z), np.asarray(p1.z)), name
+
+    proof_m = prover.device_prove(dqap, dcrs_m, wit, blinding=(7, 9),
+                                  mesh=mesh)
+    proof_1 = prover.device_prove(dqap, dcrs_1, wit, blinding=(7, 9))
+    assert proof_m == proof_1
+
+    be = BN254Backend()
+    assert protocol.verify(be, (dcrs_m.sigmag1, dcrs_m.sigmag2),
+                           [wit[1]], proof_m)
+    bad = [wit[1] + 1]
+    assert not protocol.verify(be, (dcrs_m.sigmag1, dcrs_m.sigmag2),
+                               bad, proof_m)
+
+
+def test_sharded_setup_prove_verify_e2e(mesh):
+    """End-to-end MESH path (VERDICT.md round-4 #4): device_setup(mesh=)
+    -> device_prove(mesh=) -> verify over the 8-virtual-device CPU mesh,
+    with the sharded CRS and proof BIT-EXACT against the single-chip
+    device path under a pinned trapdoor/blinding.  2^10 gates on the
+    default tier (tape-backend point ops on a 2-CPU host); the
+    production-shape 2^12 run is the `slow`-marked variant below."""
+    _sharded_e2e(mesh, 10)
+
+
+@pytest.mark.slow
+def test_sharded_setup_prove_verify_e2e_2pow12(mesh):
+    """The >=2^12-gate end-to-end mesh run (VERDICT round-4 #4 "Done"
+    bar) — ~1 h of tape-backend compute on a 2-CPU host, seconds-class
+    on real chips; run via `pytest -m slow` or scripts/run_slow_stats.py
+    on a bench-class machine."""
+    _sharded_e2e(mesh, 12)

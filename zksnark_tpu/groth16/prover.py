@@ -27,7 +27,7 @@ size, /root/reference/src/groth16/mod.rs:299-320).
 from __future__ import annotations
 
 from dataclasses import dataclass
-from functools import partial
+from functools import lru_cache, partial
 from typing import List, Optional, Sequence, Tuple
 
 import jax
@@ -203,8 +203,8 @@ def _digits8(scalars_std: jnp.ndarray) -> jnp.ndarray:
     return scalars_std.astype(jnp.int32)
 
 
-@partial(jax.jit, static_argnums=0)
-def _comb_encrypt(ops, table: JPoint, scalars_std: jnp.ndarray) -> JPoint:
+def _comb_encrypt_impl(ops, table: JPoint, scalars_std: jnp.ndarray
+                       ) -> JPoint:
     """E(s_i) = s_i * base via the comb table: one gather + one complete
     add per 8-bit digit window (32 adds per element total) instead of 256
     double-and-add steps.  scalars_std: (m, L) standard-form limbs."""
@@ -224,20 +224,57 @@ def _comb_encrypt(ops, table: JPoint, scalars_std: jnp.ndarray) -> JPoint:
     return acc
 
 
+@partial(jax.jit, static_argnums=0)
+def _comb_encrypt(ops, table: JPoint, scalars_std: jnp.ndarray) -> JPoint:
+    return _comb_encrypt_impl(ops, table, scalars_std)
+
+
+@lru_cache(maxsize=None)
+def _comb_encrypt_sharded_fn(ops, mesh, axis: str):
+    """Mesh-sharded comb encryption: the per-element comb scan is
+    embarrassingly point-parallel, so each chip encrypts its scalar
+    stripe against the replicated (tiny: 32 x 256 points) table.
+    One jitted shard_map per (ops, mesh) — the four CRS pieces share it."""
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    def local(tx, ty, tz, scalars_l):
+        out = _comb_encrypt_impl(ops, JPoint(tx, ty, tz), scalars_l)
+        return out.x, out.y, out.z
+
+    fn = shard_map(
+        local, mesh=mesh,
+        in_specs=(P(), P(), P(), P(axis)),
+        out_specs=(P(axis), P(axis), P(axis)),
+        check_rep=False,
+    )
+    return jax.jit(fn)
+
+
 def _fixed_base_encrypt(ops, base_affine, scalars_std: jnp.ndarray,
-                        pad_to: int = 0) -> JPoint:
+                        pad_to: int = 0, mesh=None,
+                        axis: str = "shard") -> JPoint:
     """Batched fixed-base scalar-mul: E(s_i) = s_i * base.
 
     scalars_std: device (m, L) standard-form limbs.  pad_to: round the
     batch up (zero scalars) so different CRS pieces share one compiled
-    kernel; pad rows are sliced off."""
+    kernel; pad rows are sliced off.  mesh: shard the comb scan over the
+    mesh (setup's dominant cost; see _comb_encrypt_sharded_fn) — the
+    batch_normalize stays global (its cost is ~2 field muls per point vs
+    the scan's ~32 point adds, and it needs one host inversion)."""
     n = scalars_std.shape[0]
     m = max(n, pad_to)
+    if mesh is not None:
+        m += (-m) % mesh.shape[axis]
     if m != n:
         scalars_std = jnp.concatenate(
             [scalars_std, jnp.zeros((m - n, L), l_DT)])
     table = _comb_table(ops, base_affine)
-    out = _comb_encrypt(ops, table, scalars_std)
+    if mesh is not None:
+        fn = _comb_encrypt_sharded_fn(ops, mesh, axis)
+        out = JPoint(*fn(table.x, table.y, table.z, scalars_std))
+    else:
+        out = _comb_encrypt(ops, table, scalars_std)
     # normalize BEFORE slicing so every same-padded piece shares one
     # compiled graph; the DeviceCRS invariant (Z in {0, one}) is what
     # lets every prover MSM run mixed adds (msm affine=True)
@@ -291,13 +328,19 @@ def device_setup(
     dqap: DeviceQAP,
     trapdoor: Optional[Tuple[int, int, int, int, int]] = None,
     rng=None,
+    mesh=None,
 ) -> DeviceCRS:
     """CRS generation: the powers-of-tau/encryption loops (reference hot
     loop #2, groth16/mod.rs:139-194) as device kernels end-to-end —
     one iNTT for the Lagrange values, a segmented field sum for the
     per-wire combination, and batched fixed-base comb scalar-muls for
     every encryption.  Host work is O(n) bigint powers + O(input) sigma
-    points."""
+    points.
+
+    mesh: a jax.sharding.Mesh — the comb encryptions (the dominant cost,
+    ~32 point adds per CRS point) run shard_map'd over the mesh with each
+    chip encrypting its scalar stripe; single-chip HBM then caps only the
+    per-chip CRS stripe instead of the whole CRS."""
     import os as _os
     import random as _random
     import sys as _sys
@@ -377,13 +420,15 @@ def device_setup(
     _mark("host sigma")
 
     # big device parts; G1 pieces padded to n to share ONE compiled kernel
-    xi_g1 = _fixed_base_encrypt(FQ_OPS, g1_base, xi_std)
+    xi_g1 = _fixed_base_encrypt(FQ_OPS, g1_base, xi_std, mesh=mesh)
     _mark("xi_g1 encrypt", xi_g1.x)
-    xi_g2 = _fixed_base_encrypt(FQ2_OPS, g2_base, xi_std)
+    xi_g2 = _fixed_base_encrypt(FQ2_OPS, g2_base, xi_std, mesh=mesh)
     _mark("xi_g2 encrypt", xi_g2.x)
-    xi_t_g1 = _fixed_base_encrypt(FQ_OPS, g1_base, xi_t_std, pad_to=n)
+    xi_t_g1 = _fixed_base_encrypt(FQ_OPS, g1_base, xi_t_std, pad_to=n,
+                                  mesh=mesh)
     sum_delta_g1 = _fixed_base_encrypt(
-        FQ_OPS, g1_base, sum_delta_std[dqap.input + 1:], pad_to=n)
+        FQ_OPS, g1_base, sum_delta_std[dqap.input + 1:], pad_to=n,
+        mesh=mesh)
     _mark("xi_t+sum_delta encrypt", xi_t_g1.x, sum_delta_g1.x)
     return DeviceCRS(
         xi_g1=xi_g1, xi_t_g1=xi_t_g1, sum_delta_g1=sum_delta_g1,
@@ -461,15 +506,24 @@ def _prove_core(domain, n_input: int, window_bits: int, ell_arrays,
         domain, n_input, ell_arrays, weights_mont, domain.t)
 
     wb = window_bits
-    wg1 = msmod.pick_win_group(FQ_OPS, n)
+    # the four G1 MSMs are padded to one common size m so they share ONE
+    # compiled executable (same shapes + static args -> one jit cache
+    # entry).  They run SEQUENTIALLY on purpose: a vmapped 4-way fusion
+    # (msmod._msm_windowed_many) was measured SLOWER at 2^16 (5.2 s vs
+    # 3.25 s prove) — the 4x gather/scan intermediates blow the HBM
+    # working set without reducing the per-MSM critical path.
+    m = max(n, sum_delta_g1.z.shape[0], wit_std.shape[0])
+    xi_p, u_p = _pad_msm(FQ_OPS, xi_g1, u_std, m)
+    _, v_p = _pad_msm(FQ_OPS, xi_g1, v_std, m)
+    hp, hs = _pad_msm(FQ_OPS, xi_t_g1, h_std[:n - 1], m)
+    dp, ds = _pad_msm(FQ_OPS, sum_delta_g1, wit_std, m)
+    wg1 = msmod.pick_win_group(FQ_OPS, m)
     wg2 = msmod.pick_win_group(FQ2_OPS, n)
     # affine=True: DeviceCRS point sets satisfy the batch_normalize
     # invariant (device_setup/serialization guarantee Z in {0, one})
-    a_g1 = msmod._msm_windowed(FQ_OPS, xi_g1, u_std, wb, wg1, True)
-    b_g1 = msmod._msm_windowed(FQ_OPS, xi_g1, v_std, wb, wg1, True)
-    hp, hs = _pad_msm(FQ_OPS, xi_t_g1, h_std[:n - 1], n)
+    a_g1 = msmod._msm_windowed(FQ_OPS, xi_p, u_p, wb, wg1, True)
+    b_g1 = msmod._msm_windowed(FQ_OPS, xi_p, v_p, wb, wg1, True)
     h_xt = msmod._msm_windowed(FQ_OPS, hp, hs, wb, wg1, True)
-    dp, ds = _pad_msm(FQ_OPS, sum_delta_g1, wit_std, n)
     c_delta = msmod._msm_windowed(FQ_OPS, dp, ds, wb, wg1, True)
     b_g2 = msmod._msm_windowed(FQ2_OPS, xi_g2, v_std, wb, wg2, True)
 
@@ -482,9 +536,15 @@ def device_prove(
     weights: Sequence[int],
     blinding: Optional[Tuple[int, int]] = None,
     rng=None,
+    mesh=None,
 ) -> Proof:
     """Full prover: device pipeline + host final assembly (mirrors
-    groth16/mod.rs:213-296 term by term)."""
+    groth16/mod.rs:213-296 term by term).
+
+    mesh: a jax.sharding.Mesh — the device pipeline runs the distributed
+    four-step quotient + point-sharded MSMs (`parallel.prove_sharded`)
+    instead of the single-chip kernels; requires domain n >= mesh_size^2
+    (the four-step split).  Host assembly is identical either way."""
     import random as _random
 
     f = FR_CTX.p
@@ -503,10 +563,19 @@ def device_prove(
     crs_arrays = (crs.xi_g1, crs.xi_t_g1, crs.sum_delta_g1, crs.xi_g2)
     ell_arrays = ((dqap.u.idx, dqap.u.val), (dqap.v.idx, dqap.v.val),
                   (dqap.w.idx, dqap.w.val))
-    window_bits = msmod.pick_window_bits(dqap.n)
-    a_g1, b_g1, b_g2, h_xt, c_delta = _prove_core(
-        dqap.domain, dqap.input, window_bits, ell_arrays, crs_arrays,
-        weights_mont)
+    if mesh is not None:
+        from ..parallel import prove_sharded as psh
+
+        n_dev = mesh.devices.size
+        window_bits = msmod.pick_window_bits(max(64, dqap.n // n_dev))
+        a_g1, b_g1, b_g2, h_xt, c_delta = psh.sharded_prove_step(
+            mesh, dqap.domain, dqap.input, window_bits, ell_arrays,
+            crs_arrays, weights_mont, num_wires=dqap.num_wires)
+    else:
+        window_bits = msmod.pick_window_bits(dqap.n)
+        a_g1, b_g1, b_g2, h_xt, c_delta = _prove_core(
+            dqap.domain, dqap.input, window_bits, ell_arrays, crs_arrays,
+            weights_mont)
 
     a_aff = jac.to_affine_np(FQ_OPS, a_g1)
     b1_aff = jac.to_affine_np(FQ_OPS, b_g1)

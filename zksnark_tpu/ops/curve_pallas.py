@@ -38,7 +38,13 @@ from ..field.limb import FQ_CTX
 from . import fieldcore as fc
 
 L = params.NUM_LIMBS                 # 32 digits
-TILE = 512                           # batch elements per kernel instance
+
+
+def _tile(nrows: int) -> int:
+    """Batch elements per kernel instance: the G2 kernel (64 digit rows,
+    Karatsuba Fq2 temporaries) overflows the 16 MB VMEM scoped limit at
+    512 lanes — halve its tile."""
+    return 512 if nrows == L else 256
 
 
 # ---------------------------------------------------------------------------
@@ -311,7 +317,7 @@ def _to_lane_major(arr, nrows):
     for s in batch_shape:
         n *= s
     flat = arr.reshape((n, nrows))     # Fq2 folds (2, L) -> 2L rows
-    pad = (-n) % TILE
+    pad = (-n) % _tile(nrows)
     if pad:
         flat = jnp.concatenate([flat, jnp.zeros((pad, nrows), flat.dtype)])
     return flat, batch_shape, n
@@ -332,8 +338,9 @@ def _point_call(kernel, nrows, n_in):
     import jax.experimental.pallas as pl
 
     def fn(consts, *lms):
-        n_tiles = lms[0].shape[0] // TILE
-        spec = pl.BlockSpec((TILE, nrows), lambda i: (i, 0))
+        tile = _tile(nrows)
+        n_tiles = lms[0].shape[0] // tile
+        spec = pl.BlockSpec((tile, nrows), lambda i: (i, 0))
         cspec = pl.BlockSpec((fc.CONST_ROWS, fc.CONST_COLS),
                              lambda i: (0, 0))
         return pl.pallas_call(

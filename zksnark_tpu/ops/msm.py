@@ -27,6 +27,16 @@ problem size):
   (E_top is just the window's total point sum; 2^c * x is c doublings);
 - the windows run under one ``lax.scan``; the cross-window Horner tail
   is another scan with a fori-doubling body;
+- **why no GLV endomorphism split**: with the BN254 cube-root
+  endomorphism, k = k1 + k2*lambda halves the scalar width (256 -> 128
+  bits) but doubles the point count (P and phi(P)).  In THIS formulation
+  the per-window cost is N_points scan-adds + O(2^c) bucket adds, so the
+  total is n_windows * N + ...: GLV gives (128/c) * 2N = (256/c) * N —
+  exactly the same add count; only the c Horner doublings per window
+  halve (~0.1% at 2^20).  GLV pays on serial double-and-add ladders
+  (halves the doubling chain) and on bucket-bound small-N MSMs, neither
+  of which is this kernel's regime — measured wins here come from the
+  fieldcore multiply (ops/fieldcore.py) instead;
 - the prover's four G1 MSMs are padded to a common size so they share
   ONE compiled `_msm_windowed` kernel by shape (groth16/prover.py
   `_pad_msm`) — same-compile sharing without an extra stacking scan.
@@ -321,6 +331,11 @@ def _msm_impl(ops, pts: JPoint, scalar_limbs: jnp.ndarray,
     # groups run under lax.scan, windows within a group under vmap.
     if win_group <= 0 or win_group >= n_win:
         win_group = n_win
+    else:
+        # shrink to the smallest group size with the same group count:
+        # padded phantom windows cost real scan work
+        n_grp = -(-n_win // win_group)
+        win_group = -(-n_win // n_grp)
     vbucket = jax.vmap(
         lambda o, d: _bucket_window_sorted(ops, pts, o, d,
                                            1 << window_bits, affine))
@@ -366,10 +381,35 @@ def _msm_windowed(ops, pts: JPoint, scalar_limbs: jnp.ndarray,
                      scalar_bits)
 
 
+@partial(jax.jit, static_argnums=(0, 3, 4, 5, 6))
+def _msm_windowed_many(ops, pts: JPoint, scalar_limbs: jnp.ndarray,
+                       window_bits: int, win_group: int = 0,
+                       affine: bool = False,
+                       scalar_bits: int = 0) -> JPoint:
+    """M independent same-size MSMs in ONE vmapped kernel.
+
+    pts: JPoint batch of shape (M, N, elem); scalar_limbs: (M, N, L).
+    Returns a JPoint batch of M results.  For batch-of-proofs workloads
+    (many small MSMs over DIFFERENT point sets) where per-stage batch
+    width, not HBM, is the limit.  The single-prove pipeline does NOT
+    use it: fusing its four G1 MSMs measured slower (the 4x gather/scan
+    intermediates blow the HBM working set), and sequential same-shape
+    MSMs already share one compiled executable via the jit cache."""
+    return jax.vmap(
+        lambda px, py, pz, s: _msm_impl(
+            ops, JPoint(px, py, pz), s, window_bits, win_group, affine,
+            scalar_bits))(pts.x, pts.y, pts.z, scalar_limbs)
+
+
 def pick_win_group(ops, n: int) -> int:
     """Windows materialized together (the vmap width inside the MSM).
     Bounded so the ~4 live (win_group, N, elem) f32 buffers stay under a
-    ~4 GiB HBM budget; 0 (= all windows) below that."""
+    ~1 GiB *unpadded* budget; 0 (= all windows) below that.
+
+    The budget looks conservative against 16 GB of HBM but is not: XLA
+    tiles f32 arrays as T(8, 128), so the minor digit dim (32) pads 4x —
+    a "1 GiB" buffer physically occupies 4 GiB (measured: win_group=8 at
+    2^20 OOMs at 25.2 G physical for 7.2 G logical)."""
     elem_bytes = 4 * 3 * L * (1 if ops.elem_ndim == 1 else 2)
     g = (1 << 30) // max(1, n * elem_bytes)
     return 0 if g >= 32 else max(1, g)

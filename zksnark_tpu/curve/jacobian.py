@@ -40,6 +40,25 @@ def is_infinity(ops, p: JPoint):
     return ops.is_zero(p.z)
 
 
+def compress_z(p: JPoint) -> JPoint:
+    """Store Z as uint8 digits.  ONLY valid on batch_normalize output
+    (Z in {0, one}: every digit is in [0, 255], so the cast is exact).
+    A normalized point set carries one bit of Z information per point;
+    keeping Z as f32 digit vectors costs 4x that again in physical HBM
+    (the 32-wide f32 minor dim tiles as T(8, 128)).  Device-resident CRS
+    point sets use this; `field_z` restores the field dtype at use."""
+    return JPoint(p.x, p.y, p.z.astype(jnp.uint8))
+
+
+def field_z(p: JPoint) -> JPoint:
+    """Inverse of `compress_z`: cast Z back to the field digit dtype of
+    X (exact — uint8 values are f32-representable).  No-op when Z is
+    already field-typed."""
+    if p.z.dtype == p.x.dtype:
+        return p
+    return JPoint(p.x, p.y, p.z.astype(p.x.dtype))
+
+
 def select(ops, mask, a: JPoint, b: JPoint) -> JPoint:
     """mask ? a : b (mask shape = batch shape)."""
     return JPoint(ops.select(mask, a.x, b.x), ops.select(mask, a.y, b.y),

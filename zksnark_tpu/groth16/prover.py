@@ -277,11 +277,13 @@ def _fixed_base_encrypt(ops, base_affine, scalars_std: jnp.ndarray,
         out = _comb_encrypt(ops, table, scalars_std)
     # normalize BEFORE slicing so every same-padded piece shares one
     # compiled graph; the DeviceCRS invariant (Z in {0, one}) is what
-    # lets every prover MSM run mixed adds (msm affine=True)
+    # lets every prover MSM run mixed adds (msm affine=True).  Z is then
+    # stored as uint8 digits (exact for {0, one}) — at 2^20 the four f32
+    # Z arrays would cost ~2.4 GB of physical HBM for one bit per point
     out = jac.batch_normalize(ops, out)
     if m != n:
         out = JPoint(out.x[:n], out.y[:n], out.z[:n])
-    return out
+    return jac.compress_z(out)
 
 
 @partial(jax.jit, static_argnums=(0, 1))
@@ -487,7 +489,8 @@ def _pad_msm(ops, pts: JPoint, scalars: jnp.ndarray, n: int):
         inf = jac.infinity(ops, (n - pts.z.shape[0],))
         pts = JPoint(jnp.concatenate([pts.x, inf.x]),
                      jnp.concatenate([pts.y, inf.y]),
-                     jnp.concatenate([pts.z, inf.z]))
+                     jnp.concatenate(
+                         [pts.z, inf.z.astype(pts.z.dtype)]))
     if scalars.shape[0] < n:
         scalars = jnp.concatenate(
             [scalars,
@@ -496,14 +499,46 @@ def _pad_msm(ops, pts: JPoint, scalars: jnp.ndarray, n: int):
 
 
 def _prove_core(domain, n_input: int, window_bits: int, ell_arrays,
-                crs_arrays, weights_mont: jnp.ndarray):
+                crs_arrays, weights_box: list):
     """Device pipeline orchestrator.  Stage 1 (NTT quotient) is one jit;
     the four G1 MSMs are padded to a common size so they all hit ONE
-    compiled Pippenger kernel; the G2 MSM is the fifth call."""
+    compiled Pippenger kernel; the G2 MSM is the fifth call.
+
+    weights_box: a single-element list holding the (num_wires, L)
+    Montgomery witness vector; the list is emptied here so the buffer's
+    last reference dies as soon as stage 1 has consumed it.  HBM at the
+    big sizes is tight (the 2^20 CRS alone is ~5 GB physical), so every
+    intermediate is dropped at its last use — the XLA runtime keeps each
+    buffer alive until its queued computations finish, so deleting a
+    reference right after dispatch is safe and exact."""
     xi_g1, xi_t_g1, sum_delta_g1, xi_g2 = crs_arrays
     n = domain.n
+    # accept either the owning single-element list or a raw array (tests
+    # and the sharded cross-check pass arrays; only the boxed form frees)
+    weights_mont = (weights_box.pop() if isinstance(weights_box, list)
+                    else weights_box)
     u_std, v_std, h_std, wit_std = _witness_quotient(
         domain, n_input, ell_arrays, weights_mont, domain.t)
+    del weights_mont  # dead after stage 1
+    if n >= (1 << 19):
+        # sequence the two HBM peaks: at 2^20 the quotient's planned
+        # buffers + CRS fill most of the chip, and the eager MSM prep
+        # allocations below would otherwise be requested WHILE the
+        # quotient executes (the round-5 OOM).  One scalar transfer is
+        # the only reliable completion barrier through the remote-TPU
+        # tunnel (jax.block_until_ready returns early there — measured).
+        # The barrier's own tiny slice needs a device allocation that
+        # can itself fail while the queued pipeline holds its
+        # high-water mark, so retry until the queue drains.
+        import time as _time
+        for _try in range(150):
+            try:
+                np.asarray(u_std[0, 0])
+                break
+            except Exception as e:  # jaxlib runtime error types vary
+                if "RESOURCE_EXHAUSTED" not in repr(e) or _try == 149:
+                    raise
+                _time.sleep(2.0)
 
     wb = window_bits
     # the four G1 MSMs are padded to one common size m so they share ONE
@@ -517,14 +552,19 @@ def _prove_core(domain, n_input: int, window_bits: int, ell_arrays,
     _, v_p = _pad_msm(FQ_OPS, xi_g1, v_std, m)
     hp, hs = _pad_msm(FQ_OPS, xi_t_g1, h_std[:n - 1], m)
     dp, ds = _pad_msm(FQ_OPS, sum_delta_g1, wit_std, m)
+    del h_std, wit_std  # padded copies supersede them
     wg1 = msmod.pick_win_group(FQ_OPS, m)
     wg2 = msmod.pick_win_group(FQ2_OPS, n)
     # affine=True: DeviceCRS point sets satisfy the batch_normalize
     # invariant (device_setup/serialization guarantee Z in {0, one})
     a_g1 = msmod._msm_windowed(FQ_OPS, xi_p, u_p, wb, wg1, True)
+    del u_p, u_std
     b_g1 = msmod._msm_windowed(FQ_OPS, xi_p, v_p, wb, wg1, True)
+    del xi_p, v_p
     h_xt = msmod._msm_windowed(FQ_OPS, hp, hs, wb, wg1, True)
+    del hp, hs
     c_delta = msmod._msm_windowed(FQ_OPS, dp, ds, wb, wg1, True)
+    del dp, ds
     b_g2 = msmod._msm_windowed(FQ2_OPS, xi_g2, v_std, wb, wg2, True)
 
     return a_g1, b_g1, b_g2, h_xt, c_delta
@@ -559,6 +599,7 @@ def device_prove(
     # wire was ~3 s of the 2^20 prove
     w_std = jnp.asarray(FR_CTX.to_limbs_np(w_full))
     weights_mont = mont_mul(FR_CTX, w_std, FR_CTX.r2_limbs)
+    del w_std
 
     crs_arrays = (crs.xi_g1, crs.xi_t_g1, crs.sum_delta_g1, crs.xi_g2)
     ell_arrays = ((dqap.u.idx, dqap.u.val), (dqap.v.idx, dqap.v.val),
@@ -573,9 +614,11 @@ def device_prove(
             crs_arrays, weights_mont, num_wires=dqap.num_wires)
     else:
         window_bits = msmod.pick_window_bits(dqap.n)
+        wbox = [weights_mont]
+        del weights_mont  # _prove_core owns (and frees) the buffer now
         a_g1, b_g1, b_g2, h_xt, c_delta = _prove_core(
             dqap.domain, dqap.input, window_bits, ell_arrays, crs_arrays,
-            weights_mont)
+            wbox)
 
     a_aff = jac.to_affine_np(FQ_OPS, a_g1)
     b1_aff = jac.to_affine_np(FQ_OPS, b_g1)

@@ -61,7 +61,10 @@ from ..field import params
 
 L = params.NUM_LIMBS
 WINDOW_BITS = params.LIMB_BITS  # default window; msm() picks per-size
-_CHUNK = 64  # sequential steps per scan level (lanes = n / _CHUNK)
+# sequential steps per scan level (lanes = n / _CHUNK): total scan work
+# is ~N combines regardless; _CHUNK trades sequential kernel launches
+# against chunk-carry fixup width (ZK_MSM_CHUNK overrides for tuning)
+_CHUNK = int(__import__("os").environ.get("ZK_MSM_CHUNK", "64"))
 
 
 def _concat(ops, a: JPoint, b: JPoint) -> JPoint:
@@ -114,7 +117,10 @@ def _pad_to(ops, pts: JPoint, m: int) -> JPoint:
     n = pts.z.shape[0]
     if m == n:
         return pts
-    return _concat(ops, pts, jac.infinity(ops, (m - n,)))
+    inf = jac.infinity(ops, (m - n,))
+    if inf.z.dtype != pts.z.dtype:  # compress_z'd CRS batches
+        inf = JPoint(inf.x, inf.y, inf.z.astype(pts.z.dtype))
+    return _concat(ops, pts, inf)
 
 
 def _scan_chunks(ops, pts: JPoint, combine, c: int, collect: bool):
@@ -170,6 +176,7 @@ def _last(p: JPoint) -> JPoint:
 def tree_sum(ops, pts: JPoint) -> JPoint:
     """Total sum of a batch of points: repeated chunked scan-sums (work N,
     ONE add instantiation per level, <= 3 levels for n <= 2^18)."""
+    pts = jac.field_z(pts)
     comb = partial(jac.add, ops)
     while pts.z.shape[0] > 1:
         n = pts.z.shape[0]
@@ -184,6 +191,7 @@ def batch_scalar_mul(ops, pts: JPoint, scalar_limbs: jnp.ndarray) -> JPoint:
     scalar_limbs: (N, L) standard-form digit vectors.  The small-N /
     correctness-oracle path (msm_naive)."""
     n_bits = params.LIMB_BITS * L  # 256; top bits of field scalars are zero
+    pts = jac.field_z(pts)
     acc0 = jac.infinity(ops, (pts.z.shape[0],))
     limbs_i = scalar_limbs.astype(jnp.int32)
 
@@ -225,6 +233,23 @@ def _digit_columns(scalar_limbs: jnp.ndarray, c: int,
     n_win = -(-n_bits // c)
     mask = jnp.uint32((1 << c) - 1)
     ints = scalar_limbs.astype(jnp.uint32)
+    if c % lb == 0:
+        # byte-aligned windows never straddle digits: window w is just
+        # digits [w*r, (w+1)*r) recombined — a reshape + shift-sum, no
+        # per-window column extraction (which costs a minor-axis
+        # relayout per window)
+        r = c // lb
+        need = n_win * r
+        if need != L:
+            pad = jnp.zeros(ints.shape[:-1] + (max(0, need - L),),
+                            jnp.uint32)
+            ints = jnp.concatenate([ints[..., :min(L, need)], pad],
+                                   axis=-1)
+        grp = ints.reshape(ints.shape[:-1] + (n_win, r))
+        d = grp[..., 0]
+        for j in range(1, r):
+            d = d | (grp[..., j] << (lb * j))
+        return jnp.moveaxis(d, -1, 0)
     extra = -(-(c + lb - 1) // lb)  # digits a window can straddle, minus 1
     padded = jnp.concatenate(
         [ints, jnp.zeros(ints.shape[:-1] + (extra,), jnp.uint32)], axis=-1)
@@ -241,7 +266,34 @@ def _digit_columns(scalar_limbs: jnp.ndarray, c: int,
     return jnp.stack(cols)
 
 
-def _bucket_window_sorted(ops, pts: JPoint, order: jnp.ndarray,
+def _pack_points(ops, pts: JPoint) -> jnp.ndarray:
+    """JPoint batch -> ONE (N, 3 * elem_size) f32 array [X | Y | Z].
+
+    The per-window sorted-point gathers are the dominant MSM cost on TPU
+    (measured at 2^19: 84 ms per window as three row gathers vs ~45 ms
+    for the window's million point-adds) and the cost is per-ROW, not
+    per-byte — XLA row gathers run far below HBM bandwidth.  Packing the
+    three coordinates into one array makes each window ONE gather over
+    3x-wider rows for ~3x less gather overhead; `_unpack_points` slices
+    the coordinates back out with contiguous (cheap) minor-axis slices."""
+    n = pts.z.shape[0]
+    z = jac.field_z(pts).z
+    return jnp.concatenate(
+        [pts.x.reshape(n, -1), pts.y.reshape(n, -1), z.reshape(n, -1)],
+        axis=1)
+
+
+def _unpack_points(ops, packed: jnp.ndarray, elem_shape) -> JPoint:
+    w = packed.shape[-1] // 3
+    lead = packed.shape[:-1]
+    return JPoint(
+        packed[..., :w].reshape(lead + elem_shape),
+        packed[..., w:2 * w].reshape(lead + elem_shape),
+        packed[..., 2 * w:].reshape(lead + elem_shape))
+
+
+def _bucket_window_sorted(ops, packed: jnp.ndarray, elem_shape,
+                          order: jnp.ndarray,
                           d_sorted: jnp.ndarray, num_buckets: int,
                           affine: bool = False) -> JPoint:
     """sum_i digit_i * P_i for one c-bit window, given the sort permutation
@@ -252,8 +304,11 @@ def _bucket_window_sorted(ops, pts: JPoint, order: jnp.ndarray,
     gets its chunk carry added — prefix_at_run_end = chunk_carry + within
     — so the carry fixup costs 2^c adds instead of N.  With `affine=True`
     (points satisfy the batch_normalize invariant Z in {0, one}) the N
-    scan combines run the cheap fused mixed-add kernel."""
-    p_sorted = _take_points(pts, order)
+    scan combines run the cheap fused mixed-add kernel.
+
+    packed: `_pack_points` layout — one gather per window (see there)."""
+    p_sorted = _unpack_points(ops, jnp.take(packed, order, axis=0),
+                              elem_shape)
     n = p_sorted.z.shape[0]
     comb = partial(jac.madd if affine else jac.add, ops)
 
@@ -276,17 +331,30 @@ def _bucket_window_sorted(ops, pts: JPoint, order: jnp.ndarray,
                     jnp.int32(num_buckets))
 
     # scatter run-end within-prefixes and run-end chunk indices to bucket
-    # slots; empty buckets keep (infinity, chunk 0) and carry[0] = infinity
-    ends_w = jac.infinity(ops, (num_buckets,))
-    ends_w = JPoint(
-        ends_w.x.at[tgt].set(flat_w.x, mode="drop"),
-        ends_w.y.at[tgt].set(flat_w.y, mode="drop"),
-        ends_w.z.at[tgt].set(flat_w.z, mode="drop"),
-    )
+    # slots; empty buckets keep (infinity, chunk 0) and carry[0] = infinity.
+    # Points are packed [X | Y | Z] so the N-row scatter (the same
+    # row-overhead-bound operation as the window gather) runs ONCE, not
+    # three times; ditto the per-bucket carry gather.
+    w = 1
+    for s in elem_shape:
+        w *= s
+    fw_cat = jnp.concatenate(
+        [flat_w.x.reshape(n, w), flat_w.y.reshape(n, w),
+         flat_w.z.reshape(n, w)], axis=1)
+    inf_b = jac.infinity(ops, (num_buckets,))
+    inf_cat = jnp.concatenate(
+        [inf_b.x.reshape(num_buckets, w), inf_b.y.reshape(num_buckets, w),
+         inf_b.z.reshape(num_buckets, w)], axis=1)
+    ends_w = _unpack_points(ops, inf_cat.at[tgt].set(fw_cat, mode="drop"),
+                            elem_shape)
     pos_chunk = jnp.arange(n, dtype=jnp.int32) // cdim
     bucket_chunk = jnp.zeros((num_buckets,), jnp.int32).at[tgt].set(
         pos_chunk, mode="drop")
-    ends_c = _take_points(carry, bucket_chunk)
+    carry_cat = jnp.concatenate(
+        [carry.x.reshape(b, w), carry.y.reshape(b, w),
+         carry.z.reshape(b, w)], axis=1)
+    ends_c = _unpack_points(
+        ops, jnp.take(carry_cat, bucket_chunk, axis=0), elem_shape)
     ends = jac.add(ops, ends_c, ends_w)
 
     # forward-fill E_j = prefix at the end of the last NON-EMPTY bucket
@@ -300,7 +368,12 @@ def _bucket_window_sorted(ops, pts: JPoint, order: jnp.ndarray,
                     jnp.arange(num_buckets, dtype=jnp.int32),
                     jnp.int32(-1))
     last_valid = jax.lax.associative_scan(jnp.maximum, src)
-    filled = _take_points(ends, jnp.maximum(last_valid, 0))
+    ends_cat = jnp.concatenate(
+        [ends.x.reshape(num_buckets, w), ends.y.reshape(num_buckets, w),
+         ends.z.reshape(num_buckets, w)], axis=1)
+    filled = _unpack_points(
+        ops, jnp.take(ends_cat, jnp.maximum(last_valid, 0), axis=0),
+        elem_shape)
     before_any = last_valid < 0            # buckets before the first run
     filled = jac.select(ops, before_any, jac.infinity(ops, (num_buckets,)),
                         filled)
@@ -320,9 +393,20 @@ def _msm_impl(ops, pts: JPoint, scalar_limbs: jnp.ndarray,
     digit_cols = _digit_columns(scalar_limbs, window_bits,
                                 scalar_bits)  # (n_win, N)
     n_win = digit_cols.shape[0]
-    # ONE batched sort for all windows (axis-1 comparator network)
-    order = jnp.argsort(digit_cols, axis=1).astype(jnp.int32)
-    d_sorted = jnp.take_along_axis(digit_cols, order, axis=1)
+    # ONE batched sort for all windows, with the position iota as the
+    # sort PAYLOAD: sorted digits and the permutation come out of the
+    # same lax.sort (a separate take_along_axis for d_sorted measured
+    # 122 ms at (16, 2^19) — minor-axis gathers are expensive).
+    # Unstable sort is sound: EC addition is commutative/associative and
+    # every field op is exact-canonical, so any order within an
+    # equal-digit run yields bit-identical bucket sums.
+    iota = jnp.broadcast_to(
+        jnp.arange(digit_cols.shape[1], dtype=jnp.int32)[None],
+        digit_cols.shape)
+    d_sorted, order = jax.lax.sort(
+        (digit_cols, iota), dimension=1, num_keys=1, is_stable=False)
+    packed = _pack_points(ops, pts)
+    elem_shape = pts.x.shape[1:]
 
     # All windows ride the batch axis of every point op (vmap), so one
     # prefix-scan step processes every window at once — the dispatch count
@@ -337,7 +421,7 @@ def _msm_impl(ops, pts: JPoint, scalar_limbs: jnp.ndarray,
         n_grp = -(-n_win // win_group)
         win_group = -(-n_win // n_grp)
     vbucket = jax.vmap(
-        lambda o, d: _bucket_window_sorted(ops, pts, o, d,
+        lambda o, d: _bucket_window_sorted(ops, packed, elem_shape, o, d,
                                            1 << window_bits, affine))
     if win_group == n_win:
         window_sums = vbucket(order, d_sorted)

@@ -47,12 +47,24 @@ class DomainTables(NamedTuple):
     remote-compile endpoint rejects it outright).  Index tables don't
     exist at all — butterfly pairings and bit-reversal are recomputed
     in-trace from iota (pure shift/mask math, cheaper than the HBM they
-    would occupy)."""
+    would occupy).  Coset scale vectors g^j are likewise NOT stored:
+    only two ~sqrt(n)-row factor tables persist, and `coset_ntt`/
+    `coset_intt` rebuild the (n, L) series in-trace as ONE batched
+    Montgomery outer product (g^j = (g^k)^(j//k) * g^(j%k), the same
+    factorization device_setup uses for the xi powers) — at 2^20 the
+    two persistent (n, L) tables cost 1 GB of physical HBM (f32 arrays
+    with a 32-wide minor dim tile as T(8, 128): 4x padding) that the
+    prover needs for MSM headroom.  (A log-concat doubling build was
+    tried first and OOM'd the 2^20 quotient: it holds ~2n rows of
+    build transients per series; the outer product's transient is just
+    the series itself.)"""
 
     tw_table: jnp.ndarray        # (n/2, L) omega^j, Montgomery
     tw_table_inv: jnp.ndarray    # (n/2, L) omega^-j
-    coset_pows: jnp.ndarray      # (n, L) g^j
-    coset_pows_inv: jnp.ndarray  # (n, L) g^-j
+    coset_lo: jnp.ndarray        # (k, L) g^b for b < k = 2^ceil(log_n/2)
+    coset_hi: jnp.ndarray        # (n/k, L) (g^k)^a
+    coset_lo_inv: jnp.ndarray    # (k, L) g^-b
+    coset_hi_inv: jnp.ndarray    # (n/k, L) (g^-k)^a
     n_inv_mont: jnp.ndarray      # (L,)
     vanishing_inv_mont: jnp.ndarray  # (L,)
 
@@ -87,16 +99,25 @@ class Domain:
         self.coset_vanishing_inv = pow(self.coset_vanishing, -1, p)
 
         # field-valued tables only (index math is recomputed in-trace):
-        # twiddles omega^j / omega^-j for j < n/2, coset scales g^j / g^-j
+        # twiddles omega^j / omega^-j for j < n/2, coset factor tables
+        k = 1 << (-(-log_n // 2))        # k = 2^ceil(log_n/2), k | n
+        self.coset_k = k
+
+        def factors(base):
+            lo = list(_pow_table(base, k, p))
+            hi = list(_pow_table(pow(base, k, p), n // k, p))
+            return (jnp.asarray(ctx.to_mont_np(lo)),
+                    jnp.asarray(ctx.to_mont_np(hi)))
+
+        lo_f, hi_f = factors(coset_gen)
+        lo_i, hi_i = factors(self.coset_gen_inv)
         self.t = DomainTables(
             tw_table=jnp.asarray(ctx.to_mont_np(
                 list(_pow_table(self.omega, max(n // 2, 1), p)))),
             tw_table_inv=jnp.asarray(ctx.to_mont_np(
                 list(_pow_table(self.omega_inv, max(n // 2, 1), p)))),
-            coset_pows=jnp.asarray(ctx.to_mont_np(
-                list(_pow_table(coset_gen, n, p)))),
-            coset_pows_inv=jnp.asarray(ctx.to_mont_np(
-                list(_pow_table(self.coset_gen_inv, n, p)))),
+            coset_lo=lo_f, coset_hi=hi_f,
+            coset_lo_inv=lo_i, coset_hi_inv=hi_i,
             n_inv_mont=jnp.asarray(ctx.to_mont_np([self.n_inv])[0]),
             vanishing_inv_mont=jnp.asarray(
                 ctx.to_mont_np([self.coset_vanishing_inv])[0]),
@@ -111,13 +132,13 @@ class Domain:
     def tw_table_inv(self):
         return self.t.tw_table_inv
 
-    @property
-    def coset_pows(self):
-        return self.t.coset_pows
-
-    @property
-    def coset_pows_inv(self):
-        return self.t.coset_pows_inv
+    def coset_pows_np(self, inverse: bool = False) -> np.ndarray:
+        """Host-built (n, L) coset scale table g^j (or g^-j) — for the
+        sharded four-step path, which needs a *permuted* gather of the
+        series before shard_map splits it.  Returns numpy (no HBM
+        residency until the caller transfers it)."""
+        base = self.coset_gen_inv if inverse else self.coset_gen
+        return self.ctx.to_mont_np(list(_pow_table(base, self.n, self.ctx.p)))
 
     @property
     def n_inv_mont(self):
@@ -241,20 +262,41 @@ def intt(domain: Domain, evals: jnp.ndarray,
     return mont_mul(domain.ctx, x, t.n_inv_mont[None, :])
 
 
+def pow_series(ctx: MontCtx, hi: jnp.ndarray, lo: jnp.ndarray
+               ) -> jnp.ndarray:
+    """(n, L) Montgomery powers [g^0 .. g^{n-1}] built in-trace from the
+    sqrt-factor tables as ONE batched outer Montgomery product:
+    g^(a*k + b) = hi[a] * lo[b].  Bit-identical to a host sequential
+    table: canonical Montgomery digits are unique per value, so the
+    multiplication ASSOCIATION cannot change the result."""
+    m, k = hi.shape[0], lo.shape[0]
+    return mont_mul(ctx, hi[:, None, :], lo[None, :, :]).reshape(m * k, L)
+
+
 def coset_ntt(domain: Domain, coeffs: jnp.ndarray,
-              t: DomainTables | None = None) -> jnp.ndarray:
-    """coefficients -> evaluations on the coset g*D."""
+              t: DomainTables | None = None,
+              coset_pows: jnp.ndarray | None = None) -> jnp.ndarray:
+    """coefficients -> evaluations on the coset g*D.
+
+    coset_pows: pass a pre-built series (`pow_series`) to share one
+    build across several transforms inside a jit; None builds it here."""
     t = domain.t if t is None else t
-    scaled = mont_mul(domain.ctx, coeffs, t.coset_pows)
+    if coset_pows is None:
+        coset_pows = pow_series(domain.ctx, t.coset_hi, t.coset_lo)
+    scaled = mont_mul(domain.ctx, coeffs, coset_pows)
     return ntt(domain, scaled, t)
 
 
 def coset_intt(domain: Domain, evals: jnp.ndarray,
-               t: DomainTables | None = None) -> jnp.ndarray:
+               t: DomainTables | None = None,
+               coset_pows_inv: jnp.ndarray | None = None) -> jnp.ndarray:
     """evaluations on the coset g*D -> coefficients."""
     t = domain.t if t is None else t
+    if coset_pows_inv is None:
+        coset_pows_inv = pow_series(domain.ctx, t.coset_hi_inv,
+                                    t.coset_lo_inv)
     coeffs = intt(domain, evals, t)
-    return mont_mul(domain.ctx, coeffs, t.coset_pows_inv)
+    return mont_mul(domain.ctx, coeffs, coset_pows_inv)
 
 
 @partial(jax.jit, static_argnums=0)
@@ -281,12 +323,13 @@ def divide_by_vanishing(domain: Domain, u_evals: jnp.ndarray,
     """
     ctx = domain.ctx
     td = domain.t if t is None else t
+    cpows = pow_series(ctx, td.coset_hi, td.coset_lo)
     u_c = intt(domain, u_evals, td)
     v_c = intt(domain, v_evals, td)
     w_c = intt(domain, w_evals, td)
-    ue = coset_ntt(domain, u_c, td)
-    ve = coset_ntt(domain, v_c, td)
-    we = coset_ntt(domain, w_c, td)
+    ue = coset_ntt(domain, u_c, td, cpows)
+    ve = coset_ntt(domain, v_c, td, cpows)
+    we = coset_ntt(domain, w_c, td, cpows)
     num = sub(ctx, mont_mul(ctx, ue, ve), we)
     q = mont_mul(ctx, num, td.vanishing_inv_mont[None, :])
     return coset_intt(domain, q, td)

@@ -161,8 +161,9 @@ def sharded_witness_quotient(mesh: Mesh, domain, n_input: int,
         jnp.take(v_idx, ep, axis=0), jnp.take(v_val, ep, axis=0),
         jnp.take(w_idx, ep, axis=0), jnp.take(w_val, ep, axis=0),
         weights_mont, sd.tw, sd.tw_inv,
-        jnp.take(domain.coset_pows, cp, axis=0),
-        jnp.take(domain.coset_pows_inv, cp, axis=0))
+        jnp.asarray(np.take(domain.coset_pows_np(), np.asarray(cp), axis=0)),
+        jnp.asarray(np.take(domain.coset_pows_np(inverse=True),
+                            np.asarray(cp), axis=0)))
 
 
 def sharded_prove_step(mesh: Mesh, domain, n_input: int, window_bits: int,

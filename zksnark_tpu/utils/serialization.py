@@ -7,10 +7,11 @@ versioned layouts:
 - JSON (hex-encoded field elements) for small artifacts: proofs, public
   inputs, the host Sigma parts.  G1 points are [x, y] (null = infinity);
   G2 points are [[x0, x1], [y0, y1]] over Fq2.
-- ``.npz`` for the big device CRS arrays (raw 32x8-bit digit tensors in
-  f32 lanes, Montgomery form, little-endian digit order — the
-  `field.limb` layout) — the prover memory-maps these straight back to
-  the device.
+- ``.npz`` for the big device CRS arrays (raw 32x8-bit digit tensors,
+  Montgomery form, little-endian digit order — the `field.limb` layout;
+  X/Y in f32 lanes, Z compressed to uint8 digits per the normalized
+  Z in {0, one} invariant, `curve.jacobian.compress_z`) — the prover
+  memory-maps these straight back to the device.
 """
 
 from __future__ import annotations
@@ -167,10 +168,14 @@ def device_crs_load(path: str):
     sigmag1, sigmag2 = crs_from_json(bytes(z["host_sigma"]).decode())
 
     # re-establish the DeviceCRS invariant (Z in {0, one}) regardless of
-    # how the checkpoint was produced — the prover's MSMs rely on it
+    # how the checkpoint was produced — the prover's MSMs rely on it.
+    # Z is widened to the field dtype for the normalize math and stored
+    # back compressed (uint8 digits; see jacobian.compress_z)
     def norm(ops, x, y, zz):
-        return jac.batch_normalize(ops, JPoint(
-            jnp.asarray(x), jnp.asarray(y), jnp.asarray(zz)))
+        zj = jnp.asarray(zz)
+        xj = jnp.asarray(x)
+        return jac.compress_z(jac.batch_normalize(ops, JPoint(
+            xj, jnp.asarray(y), zj.astype(xj.dtype))))
 
     return DeviceCRS(
         xi_g1=norm(FQ_OPS, z["xi_g1_x"], z["xi_g1_y"], z["xi_g1_z"]),
